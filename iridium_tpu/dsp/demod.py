@@ -1,0 +1,241 @@
+"""Batched DQPSK demodulator: Gardner timing recovery + 1st-order PLL +
+hard/soft UW verification + differential decode, as fixed-length masked
+`lax.scan`s vectorized over the burst batch.
+
+Behavior parity sources (reference file:line):
+  - Catmull-Rom cubic interpolation:  qpsk_demod.c:56-81
+  - Gardner TED loop (Kp=0.02,
+    Ki=0.0002, +-0.5 clamps):         qpsk_demod.c:85-130
+  - simple strided decimation:        qpsk_demod.c:134-141
+  - 1st-order PLL alpha=0.2:          qpsk_demod.c:145-195
+  - hard decision + confidence +
+    end-of-frame magnitude drop:      qpsk_demod.c:199-260
+  - DQPSK map {0,2,3,1}:              qpsk_demod.c:264-273
+  - UW hard check (Hamming<=2 with
+    3->1 wraparound):                 qpsk_demod.c:277-293
+  - soft angular UW check (<=3.0):    qpsk_demod.c:297-325
+  - bits + per-bit LLR:               qpsk_demod.c:329-335, 489-503
+  - PLL residual CFO refinement:      qpsk_demod.c:521-527
+
+The reference runs these per burst on one thread; here every step is
+vectorized over the batch, and the two genuinely sequential loops
+(Gardner position tracking, PLL phase tracking) are `lax.scan`s whose
+carries are (batch,)-shaped — one compiled program demodulates the whole
+batch in lockstep.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import iridium
+
+PLL_ALPHA = 0.2
+SQRT1_2 = 0.70710678118654752
+CONFIDENCE_ANGLE = 22.0
+MAGNITUDE_DROP = 8.0
+MAX_LOW_COUNT = 3
+UW_MAX_ERRORS = 2
+UW_SOFT_THRESHOLD = 3.0
+GARDNER_KP = 0.02
+GARDNER_KI = 0.0002
+
+DQPSK_MAP = np.array([0, 2, 3, 1], dtype=np.int32)
+
+DIR_DL = 0
+DIR_UL = 1
+
+
+class DemodOut(NamedTuple):
+    ok: jax.Array            # (B,) bool — UW verified
+    direction: jax.Array     # (B,) i32 final direction
+    n_symbols: jax.Array     # (B,) i32 actual symbols (after EOF trim)
+    confidence: jax.Array    # (B,) i32 percent
+    level: jax.Array         # (B,) f32 mean magnitude
+    total_phase: jax.Array   # (B,) f32 summed PLL corrections (for CFO)
+    bits: jax.Array          # (B, 2*S) uint8
+    llr: jax.Array           # (B, 2*S) f32
+    soft_bits: jax.Array     # (B, 2*S) f32 signed soft bits (for decoders)
+
+
+def _cubic4(x, pos, n_samp):
+    """Catmull-Rom interpolation with the reference's clamping: mu keeps
+    the pre-clamp fraction (qpsk_demod.c:56-81)."""
+    idx0 = pos.astype(jnp.int32)
+    mu = pos - idx0.astype(jnp.float32)
+    idx = jnp.clip(idx0, 1, n_samp - 3)
+    w = jax.lax.dynamic_slice(x, (idx - 1,), (4,))
+    s0, s1, s2, s3 = w[0], w[1], w[2], w[3]
+    mu2 = mu * mu
+    mu3 = mu2 * mu
+    a = -0.5 * s0 + 1.5 * s1 - 1.5 * s2 + 0.5 * s3
+    b = s0 - 2.5 * s1 + 2.0 * s2 - 0.5 * s3
+    cc = -0.5 * s0 + 0.5 * s2
+    return a * mu3 + b * mu2 + cc * mu + s1
+
+
+def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
+    """Build demod(x, n_samples, direction) for a (L,) burst; vmap over B."""
+    S = max_symbols
+    uw_dl = jnp.asarray(np.array(iridium.UW_DL, np.int32))
+    uw_ul = jnp.asarray(np.array(iridium.UW_UL, np.int32))
+    dqpsk_map = jnp.asarray(DQPSK_MAP)
+    iota_s = jnp.arange(S, dtype=jnp.int32)
+
+    def gardner(x, n_samp):
+        nf = n_samp.astype(jnp.float32)
+
+        def body(carry, t):
+            pos, tmo, prev, done = carry
+            active = (~done) & (pos < nf - 3)
+            done = done | ~active
+            on = _cubic4(x, pos, n_samp)
+            midpos = pos - sps * 0.5
+            mid = _cubic4(x, midpos, n_samp)
+            do_mid = (t > 0) & (midpos >= 1.0)
+            diff = prev - on
+            err = jnp.clip((diff * jnp.conj(mid)).real, -1.0, 1.0)
+            tmo2 = jnp.where(do_mid, tmo + GARDNER_KI * err, tmo)
+            adjust = jnp.clip(GARDNER_KP * err + tmo2, -0.5, 0.5)
+            pos2 = jnp.where(do_mid, pos + adjust, pos)
+            new = (jnp.where(active, pos2 + sps, pos),
+                   jnp.where(active, tmo2, tmo),
+                   jnp.where(active, on, prev),
+                   done)
+            return new, (on, active)
+
+        init = (jnp.float32(0.0), jnp.float32(0.0),
+                jnp.complex64(0.0), jnp.zeros((), bool))
+        _, (syms, valid) = jax.lax.scan(body, init, iota_s)
+        return syms, valid
+
+    def simple(x, n_samp):
+        isps = int(round(sps))
+        idx = iota_s * isps
+        valid = idx < n_samp
+        return x[jnp.clip(idx, 0, x.shape[0] - 1)], valid
+
+    def pll(syms, valid):
+        def body(carry, inp):
+            phi, total = carry
+            sym, v = inp
+            out = sym * phi
+            re, im = out.real, out.imag
+            s = jnp.float32(SQRT1_2)
+            xh = jnp.where(
+                (re >= 0) & (im >= 0), jax.lax.complex(s, s),
+                jnp.where(re >= 0, jax.lax.complex(s, -s),
+                          jnp.where(im < 0, jax.lax.complex(-s, -s),
+                                    jax.lax.complex(-s, s))))
+            er = jnp.conj(xh) * out
+            er_mag = jnp.abs(er)
+            skip = er_mag < 1e-10
+            ang = jnp.arctan2(er.imag, er.real)
+            sc = PLL_ALPHA * ang
+            corr = jax.lax.complex(jnp.cos(sc), jnp.sin(sc))
+            phi2 = jnp.conj(corr) * phi
+            pm = jnp.abs(phi2)
+            phi2 = jnp.where(pm > 0, phi2 / pm, phi2)
+            upd = v & ~skip
+            return (jnp.where(upd, phi2, phi),
+                    jnp.where(upd, total + sc, total)), out
+
+        init = (jnp.complex64(1.0), jnp.float32(0.0))
+        (_, total), out = jax.lax.scan(body, init, (syms, valid))
+        return out, total
+
+    def demod(x, n_samples, direction):
+        if use_gardner:
+            syms, valid = gardner(x, n_samples)
+        else:
+            syms, valid = simple(x, n_samples)
+        n_sym = jnp.sum(valid.astype(jnp.int32))
+        pll_out, total_phase = pll(syms, valid)
+
+        # --- demod_qpsk: hard decisions, EOF detect, confidence ---
+        re, im = pll_out.real, pll_out.imag
+        mags = jnp.abs(pll_out)
+        hard = jnp.where(
+            (re >= 0) & (im >= 0), 0,
+            jnp.where((re < 0) & (im >= 0), 1,
+                      jnp.where(re < 0, 2, 3))).astype(jnp.int32)
+        mags_m = jnp.where(valid, mags, -jnp.inf)
+        cmax = jax.lax.associative_scan(jnp.maximum, mags_m)
+        low = valid & (mags < cmax / MAGNITUDE_DROP)
+        low1 = jnp.concatenate([jnp.zeros(1, bool), low[:-1]])
+        low2 = jnp.concatenate([jnp.zeros(2, bool), low[:-2]])
+        trip = low & low1 & low2
+        any_trip = jnp.any(trip)
+        first_trip = jnp.argmax(trip).astype(jnp.int32)
+        actual = jnp.where(any_trip, first_trip + 1 - MAX_LOW_COUNT, n_sym)
+        amask = iota_s < actual
+
+        phase = (jnp.arctan2(im, re) + np.pi) * (180.0 / np.pi)
+        offsets = 45.0 - jnp.mod(phase, 90.0)
+        n_ok = jnp.sum((amask & (jnp.abs(offsets) <= CONFIDENCE_ANGLE))
+                       .astype(jnp.int32))
+        safe_n = jnp.maximum(actual, 1)
+        level = jnp.where(actual > 0,
+                          jnp.sum(jnp.where(amask, mags, 0.0)) / safe_n, 0.0)
+        confidence = jnp.where(actual > 0, (100 * n_ok) // safe_n, 0)
+
+        # --- UW checks ---
+        uw_syms = hard[:iridium.UW_LENGTH]
+
+        def hard_check(uw):
+            d = jnp.abs(uw_syms - uw)
+            d = jnp.where(d == 3, 1, d)
+            return (actual >= iridium.UW_LENGTH) & (jnp.sum(d) <= UW_MAX_ERRORS)
+
+        def soft_check(uw):
+            expected = np.pi * 0.25 + uw.astype(jnp.float32) * (np.pi * 0.5)
+            a = jnp.arctan2(im[:iridium.UW_LENGTH], re[:iridium.UW_LENGTH])
+            a = jnp.where(a < 0, a + 2 * np.pi, a)
+            d = a - expected
+            d = jnp.where(d > np.pi, d - 2 * np.pi, d)
+            d = jnp.where(d < -np.pi, d + 2 * np.pi, d)
+            err = jnp.sum(jnp.abs(d)) * (2.0 / np.pi)
+            return jnp.where(actual >= iridium.UW_LENGTH, err, 999.0)
+
+        dl_ok = hard_check(uw_dl)
+        ul_ok = hard_check(uw_ul)
+        both_fail = ~dl_ok & ~ul_ok
+        dl_err = soft_check(uw_dl)
+        ul_err = soft_check(uw_ul)
+        min_err = jnp.minimum(dl_err, ul_err)
+        ok = ~both_fail | (min_err <= UW_SOFT_THRESHOLD)
+        direction = jnp.where(
+            both_fail,
+            jnp.where(ul_err < dl_err, DIR_UL, DIR_DL),
+            jnp.where(ul_ok & ~dl_ok, DIR_UL,
+                      jnp.where(dl_ok & ~ul_ok, DIR_DL, direction)))
+
+        # --- DQPSK differential decode + bits ---
+        prev = jnp.concatenate([jnp.zeros(1, jnp.int32), hard[:-1]])
+        dec = dqpsk_map[jnp.mod(hard - prev, 4)]
+        bits = jnp.stack([(dec >> 1) & 1, dec & 1], axis=-1).reshape(-1)
+        bmask = jnp.arange(2 * S) < 2 * actual
+        bits = jnp.where(bmask, bits, 0).astype(jnp.uint8)
+
+        # --- LLR ---
+        sum_mag = jnp.sum(jnp.where(amask, mags, 0.0))
+        scale = jnp.where((actual > 0) & (sum_mag > 0),
+                          SQRT1_2 / (sum_mag / safe_n), 1.0)
+        llr = jnp.stack([jnp.abs(re), jnp.abs(im)], axis=-1).reshape(-1) * scale
+        llr = jnp.where(bmask, llr, 0.0)
+        soft = jnp.stack([re, im], axis=-1).reshape(-1) * scale
+        soft = jnp.where(bmask, soft, 0.0)
+
+        return DemodOut(ok=ok,
+                        direction=direction.astype(jnp.int32),
+                        n_symbols=actual,
+                        confidence=confidence.astype(jnp.int32),
+                        level=level.astype(jnp.float32),
+                        total_phase=total_phase,
+                        bits=bits, llr=llr, soft_bits=soft)
+
+    return demod

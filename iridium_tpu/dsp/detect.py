@@ -1,0 +1,382 @@
+"""Burst detector: batched windowed FFT + on-device burst state machine.
+
+TPU-first re-derivation of the reference detector (`burst_detect.c`):
+the reference processes one FFT frame at a time on a dedicated thread with
+heap-allocated burst lists; here a whole block of frames is FFT'd as one
+batched XLA FFT and the sequential per-frame state machine (noise floor,
+active-burst tracking, peak extraction, squelch) runs as a `lax.scan` with
+fixed-capacity tables, so the entire detector is one compiled device program.
+
+Behavior parity sources (reference file:line):
+  - window + FFT + fftshift|.|^2:     burst_detect.c:679-699
+  - relative magnitude (pre filter):  burst_detect.c:426-434
+  - baseline running-sum update:      burst_detect.c:438-454
+  - active-burst extension:           burst_detect.c:458-469
+  - burst mask over +-width/2:        burst_detect.c:473-486
+  - gone-burst deletion (+forced
+    noise update on long bursts):     burst_detect.c:490-518
+  - peak extraction w/ DC notch and
+    edge exclusion, sorted desc:      burst_detect.c:529-552
+  - greedy burst creation, magnitude/
+    noise estimates, squelch + noise
+    reset:                            burst_detect.c:556-632
+
+The sorted-descending peak iteration with incremental masking is reproduced
+exactly by an argmax loop over the masked relative-magnitude vector.
+Emission order (active-list order == creation order) is reproduced by
+sorting each frame's deleted bursts by burst id before appending to the
+gone table.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DetectorParams
+from ..ops import windows
+
+INT32_MAX = np.int32(2**31 - 1)
+
+
+class DetectorState(NamedTuple):
+    """Scan carry + cross-block state. All sample indices are relative to
+    the current block's first sample (shifted by -block_samples between
+    blocks so they stay small)."""
+
+    # Noise floor estimation
+    baseline_hist: jax.Array    # (history_size, fft_size) f32
+    baseline_sum: jax.Array     # (fft_size,) f32
+    hist_idx: jax.Array         # i32 scalar
+    primed: jax.Array           # i32 scalar (0/1)
+
+    # Active burst table (fixed capacity)
+    a_valid: jax.Array          # (B,) bool
+    a_id: jax.Array             # (B,) i32
+    a_start: jax.Array          # (B,) i32  (samples, rel. block start)
+    a_last: jax.Array           # (B,) i32  (last_active)
+    a_bin: jax.Array            # (B,) i32
+    a_mag: jax.Array            # (B,) f32
+    a_noise: jax.Array          # (B,) f32
+
+    # Burst frequency mask: count of active bursts covering each bin
+    mask_count: jax.Array       # (fft_size,) i32
+
+    # Gone (emitted) burst table for the current block
+    g_count: jax.Array          # i32 scalar
+    g_id: jax.Array             # (G,) i32
+    g_start: jax.Array          # (G,) i32
+    g_stop: jax.Array           # (G,) i32
+    g_last: jax.Array           # (G,) i32
+    g_bin: jax.Array            # (G,) i32
+    g_mag: jax.Array            # (G,) f32
+    g_noise: jax.Array          # (G,) f32
+
+    # Counters / misc
+    burst_id: jax.Array         # i32 scalar (increments by 10 per burst)
+    squelch_count: jax.Array    # i32 scalar
+    n_tagged: jax.Array         # i32 scalar (total emitted bursts)
+    peak_signal_db: jax.Array   # f32 scalar (diagnostic)
+
+
+def init_state(p: DetectorParams) -> DetectorState:
+    F, H, B, G = p.fft_size, p.history_size, p.burst_capacity, p.gone_capacity
+    z32 = jnp.zeros((), jnp.int32)
+    return DetectorState(
+        baseline_hist=jnp.zeros((H, F), jnp.float32),
+        baseline_sum=jnp.zeros((F,), jnp.float32),
+        hist_idx=z32,
+        primed=z32,
+        a_valid=jnp.zeros((B,), bool),
+        a_id=jnp.zeros((B,), jnp.int32),
+        a_start=jnp.zeros((B,), jnp.int32),
+        a_last=jnp.zeros((B,), jnp.int32),
+        a_bin=jnp.zeros((B,), jnp.int32),
+        a_mag=jnp.zeros((B,), jnp.float32),
+        a_noise=jnp.zeros((B,), jnp.float32),
+        mask_count=jnp.zeros((F,), jnp.int32),
+        g_count=z32,
+        g_id=jnp.zeros((G,), jnp.int32),
+        g_start=jnp.zeros((G,), jnp.int32),
+        g_stop=jnp.zeros((G,), jnp.int32),
+        g_last=jnp.zeros((G,), jnp.int32),
+        g_bin=jnp.zeros((G,), jnp.int32),
+        g_mag=jnp.zeros((G,), jnp.float32),
+        g_noise=jnp.zeros((G,), jnp.float32),
+        burst_id=z32,
+        squelch_count=z32,
+        n_tagged=z32,
+        peak_signal_db=jnp.zeros((), jnp.float32),
+    )
+
+
+def spectrogram(samples: jax.Array, window: jax.Array, fft_size: int) -> jax.Array:
+    """Non-overlapping windowed FFT -> fftshifted magnitude^2.
+
+    One batched FFT over all frames in the block (the reference's per-frame
+    FFTW call / 16-frame GPU batch, burst_detect.c:679-699, done in one shot).
+    """
+    n_frames = samples.shape[0] // fft_size
+    frames = samples[: n_frames * fft_size].reshape(n_frames, fft_size)
+    spec = jnp.fft.fft(frames * window[None, :])
+    mag2 = jnp.abs(spec) ** 2
+    return jnp.fft.fftshift(mag2, axes=-1)
+
+
+def _coverage_delta(bins: jax.Array, weight: jax.Array, half_bw: int,
+                    fft_size: int) -> jax.Array:
+    """Sum of +-half_bw coverage indicators for a set of bursts, computed as
+    a scatter of interval endpoints + cumsum (O(B + F), no (B, F) matrix)."""
+    lo = jnp.clip(bins - half_bw, 0, fft_size - 1)
+    hi = jnp.clip(bins + half_bw, 0, fft_size - 1)
+    diff = jnp.zeros((fft_size + 1,), jnp.int32)
+    diff = diff.at[lo].add(weight)
+    diff = diff.at[hi + 1].add(-weight)
+    return jnp.cumsum(diff)[:-1]
+
+
+def make_frame_step(p: DetectorParams):
+    """Build the per-FFT-frame state machine body for lax.scan."""
+    F = p.fft_size
+    B = p.burst_capacity
+    G = p.gone_capacity
+    half_bw = p.burst_width_bins // 2
+    threshold = jnp.float32(p.threshold)
+    hist_f = jnp.float32(p.history_size)
+    enbw = jnp.float32(windows.BLACKMAN_ENBW)
+    bin_width = jnp.float32(p.sample_rate) / jnp.float32(F)
+    f2 = jnp.float32(F) * jnp.float32(F)
+
+    # Static peak-eligibility template: edge + DC-notch exclusion
+    # (burst_detect.c:529-552: bins [half_bw, F-half_bw), DC +-3 skipped)
+    bins_np = np.arange(F)
+    eligible = (bins_np >= half_bw) & (bins_np < F - half_bw)
+    dc = F // 2
+    eligible &= ~((bins_np >= dc - 3) & (bins_np <= dc + 3))
+    eligible_t = jnp.asarray(eligible)
+
+    iota_b = jnp.arange(B, dtype=jnp.int32)
+    iota_g = jnp.arange(G, dtype=jnp.int32)
+    iota_f = jnp.arange(F, dtype=jnp.int32)
+
+    def update_baseline(s: DetectorState, mag: jax.Array, do: jax.Array):
+        """Conditional running-sum noise update (burst_detect.c:438-454)."""
+        old = s.baseline_hist[s.hist_idx]
+        new_sum = s.baseline_sum - old + mag
+        new_hist = jax.lax.dynamic_update_slice(
+            s.baseline_hist, mag[None, :], (s.hist_idx, 0))
+        nxt = s.hist_idx + 1
+        wrapped = nxt == p.history_size
+        new_idx = jnp.where(wrapped, 0, nxt)
+        new_primed = jnp.where(wrapped, 1, s.primed)
+        return s._replace(
+            baseline_sum=jnp.where(do, new_sum, s.baseline_sum),
+            baseline_hist=jnp.where(do, new_hist, s.baseline_hist),
+            hist_idx=jnp.where(do, new_idx, s.hist_idx),
+            primed=jnp.where(do, new_primed, s.primed),
+        )
+
+    def append_gone(s: DetectorState, flags: jax.Array, stop: jax.Array):
+        """Move flagged active bursts to the gone table, ordered by id
+        (reference emits in creation order: burst_detect.c:703-742)."""
+        key = jnp.where(flags, s.a_id, INT32_MAX)
+        order = jnp.argsort(key)
+        n_gone = jnp.sum(flags.astype(jnp.int32))
+        # Destination row for the k-th flagged burst
+        dst = s.g_count + iota_b
+        write = (iota_b < n_gone) & (dst < G)
+        dst = jnp.where(write, dst, G)  # out-of-range drops (scatter mode clip->drop)
+        src = order
+
+        def scat(tab, vals):
+            return tab.at[dst].set(vals[src], mode="drop")
+
+        return s._replace(
+            g_id=scat(s.g_id, s.a_id),
+            g_start=scat(s.g_start, s.a_start),
+            g_stop=scat(s.g_stop, jnp.where(flags, stop, 0)[src] * 0 + stop),
+            g_last=scat(s.g_last, s.a_last),
+            g_bin=scat(s.g_bin, s.a_bin),
+            g_mag=scat(s.g_mag, s.a_mag),
+            g_noise=scat(s.g_noise, s.a_noise),
+            g_count=jnp.minimum(s.g_count + n_gone, G),
+            n_tagged=s.n_tagged + n_gone,
+            a_valid=s.a_valid & ~flags,
+        )
+
+    def frame_step(s: DetectorState, xs):
+        mag, idx = xs          # mag: (F,) f32; idx: i32 sample index of frame start
+        primed = s.primed > 0
+
+        # relative magnitude (burst_detect.c:426-434, simd_generic.c:137-144:
+        # bins with zero baseline get rel = 0, not inf)
+        rel = jnp.where(s.baseline_sum > 0, mag / s.baseline_sum, 0.0)
+
+        # --- update_bursts: extend last_active (burst_detect.c:458-469) ---
+        cb = s.a_bin
+        r_m1 = rel[jnp.clip(cb - 1, 0, F - 1)]
+        r_0 = rel[cb]
+        r_p1 = rel[jnp.clip(cb + 1, 0, F - 1)]
+        hit = ((jnp.where(cb > 0, r_m1, 0) > threshold)
+               | (r_0 > threshold)
+               | (jnp.where(cb < F - 1, r_p1, 0) > threshold))
+        a_last = jnp.where(s.a_valid & hit & primed, idx, s.a_last)
+        s = s._replace(a_last=a_last)
+
+        # --- remove_peaks_around_bursts: mask carried from frame end ---
+        relm = rel * (s.mask_count == 0) * eligible_t
+        relm = jnp.where(relm > threshold, relm, 0.0)  # extract_peaks threshold
+
+        # --- delete_gone_bursts (burst_detect.c:490-518) ---
+        long_burst = s.a_valid & ((a_last - s.a_start) > p.max_burst_len)
+        gone = s.a_valid & (((a_last + p.burst_post_len) <= idx) | long_burst)
+        force_noise = jnp.any(long_burst) & primed
+        s_after = append_gone(s, gone & primed, idx)
+        s = DetectorState(*jax.tree.map(
+            lambda new, old: jnp.where(primed, new, old), tuple(s_after), tuple(s)))
+
+        # forced noise update inside delete_gone (burst_detect.c:516-517)
+        s = update_baseline(s, mag, force_noise)
+
+        # --- update_burst_mask: recompute from remaining actives ---
+        new_mask_count = _coverage_delta(
+            s.a_bin, s.a_valid.astype(jnp.int32), half_bw, F)
+        s = s._replace(mask_count=jnp.where(primed, new_mask_count, s.mask_count))
+
+        # --- create_new_bursts: greedy argmax loop (burst_detect.c:556-632).
+        # Equivalent to iterating the desc-sorted peak list and skipping
+        # currently-masked bins: argmax over the masked vector picks the
+        # same sequence of peaks.
+        def create_body(k, val):
+            (a_valid, a_id, a_start, a_last, a_bin, a_mag, a_noise,
+             mask_count, burst_id, created_frame, peak_db) = val
+            cand = relm * (mask_count == 0)
+            pk = jnp.argmax(cand).astype(jnp.int32)
+            pv = cand[pk]
+            ok = primed & (pv > threshold)
+            # first free slot
+            slot = jnp.argmin(a_valid.astype(jnp.int32)).astype(jnp.int32)
+            have_slot = ~a_valid[slot]
+            ok = ok & have_slot
+            mag_db = 10.0 * jnp.log10(jnp.maximum(pv * hist_f * enbw, 1e-30))
+            noise_db = 10.0 * jnp.log10(jnp.maximum(
+                s.baseline_sum[pk] / hist_f / f2 / enbw / bin_width, 1e-30))
+            start = idx - p.burst_pre_len
+
+            def upd(tab, v):
+                return tab.at[slot].set(jnp.where(ok, v, tab[slot]))
+
+            a_valid = a_valid.at[slot].set(jnp.where(ok, True, a_valid[slot]))
+            a_id = upd(a_id, burst_id)
+            a_start = upd(a_start, start)
+            a_last = upd(a_last, start)
+            a_bin = upd(a_bin, pk)
+            a_mag = upd(a_mag, mag_db)
+            a_noise = upd(a_noise, noise_db)
+            created_frame = created_frame.at[slot].set(
+                jnp.where(ok, True, created_frame[slot]))
+            mask_count = jnp.where(
+                ok,
+                mask_count + ((iota_f >= jnp.maximum(pk - half_bw, 0))
+                              & (iota_f <= jnp.minimum(pk + half_bw, F - 1))
+                              ).astype(jnp.int32),
+                mask_count)
+            burst_id = jnp.where(ok, burst_id + 10, burst_id)
+            peak_db = jnp.where(ok, jnp.maximum(peak_db, mag_db), peak_db)
+            return (a_valid, a_id, a_start, a_last, a_bin, a_mag, a_noise,
+                    mask_count, burst_id, created_frame, peak_db)
+
+        created_frame0 = jnp.zeros((B,), bool)
+        (a_valid, a_id, a_start, a_last, a_bin, a_mag, a_noise,
+         mask_count, burst_id, created_frame, peak_db) = jax.lax.fori_loop(
+            0, p.max_new_per_frame, create_body,
+            (s.a_valid, s.a_id, s.a_start, s.a_last, s.a_bin, s.a_mag,
+             s.a_noise, s.mask_count, s.burst_id, created_frame0,
+             s.peak_signal_db))
+        s = s._replace(a_valid=a_valid, a_id=a_id, a_start=a_start,
+                       a_last=a_last, a_bin=a_bin, a_mag=a_mag,
+                       a_noise=a_noise, mask_count=mask_count,
+                       burst_id=burst_id, peak_signal_db=peak_db)
+
+        # --- squelch (burst_detect.c:594-631) ---
+        n_active = jnp.sum(s.a_valid.astype(jnp.int32))
+        squelch = primed & (p.max_bursts > 0) & (n_active > p.max_bursts)
+
+        def do_squelch(s: DetectorState) -> DetectorState:
+            old = s.a_valid & ~created_frame
+            s = append_gone(s, old, idx)
+            return s._replace(
+                a_valid=jnp.zeros((B,), bool),
+                mask_count=jnp.zeros((F,), jnp.int32),
+                squelch_count=s.squelch_count + 3,
+            )
+
+        def no_squelch(s: DetectorState) -> DetectorState:
+            return s._replace(
+                squelch_count=jnp.maximum(s.squelch_count - 1, 0))
+
+        s = jax.lax.cond(squelch, do_squelch, no_squelch, s)
+
+        # noise estimate reset after repeated squelch (burst_detect.c:618-627)
+        reset = s.squelch_count >= 10
+        s = s._replace(
+            baseline_hist=jnp.where(reset, 0.0, s.baseline_hist),
+            baseline_sum=jnp.where(reset, 0.0, s.baseline_sum),
+            hist_idx=jnp.where(reset, 0, s.hist_idx),
+            primed=jnp.where(reset, 0, s.primed),
+            squelch_count=jnp.where(reset, 0, s.squelch_count),
+        )
+
+        # --- final noise update if no active bursts (burst_detect.c:698) ---
+        n_active = jnp.sum(s.a_valid.astype(jnp.int32))
+        s = update_baseline(s, mag, n_active == 0)
+        return s, None
+
+    return frame_step
+
+
+def make_detect_block(p: DetectorParams):
+    """Returns detect(samples, state, base_index) -> new_state.
+
+    samples: (block_samples,) complex64 — one block of the stream.
+    base_index: i32 sample index (relative block origin) of samples[0];
+      normally 0 because indices are re-based between blocks by
+      `rebase_state`.
+    """
+    window = jnp.asarray(windows.blackman(p.fft_size) / np.float32(0.42))
+    frame_step = make_frame_step(p)
+
+    def gated_step(s: DetectorState, xs):
+        """Skip frames past EOF (the reference never processes a partial
+        final frame: feed loop condition burst_detect.c:821)."""
+        mag, idx, active = xs
+        s2, _ = frame_step(s, (mag, idx))
+        s = DetectorState(*jax.tree.map(
+            lambda a, b: jnp.where(active, a, b), tuple(s2), tuple(s)))
+        return s, None
+
+    def detect(samples: jax.Array, state: DetectorState,
+               n_valid: jax.Array) -> DetectorState:
+        mag2 = spectrogram(samples, window, p.fft_size)
+        n_frames = mag2.shape[0]
+        # The reference processes frame k with d->index == k * fft_size
+        # (index advanced after processing; feed loop burst_detect.c:821-835).
+        idxs = jnp.arange(n_frames, dtype=jnp.int32) * p.fft_size
+        active = (idxs + p.fft_size) <= n_valid
+        state, _ = jax.lax.scan(gated_step, state, (mag2, idxs, active))
+        return state
+
+    return detect
+
+
+def rebase_state(state: DetectorState, block_samples: int) -> DetectorState:
+    """Shift per-burst sample indices by -block_samples and clear the gone
+    table, preparing the carry for the next block."""
+    return state._replace(
+        a_start=state.a_start - block_samples,
+        a_last=state.a_last - block_samples,
+        g_count=jnp.zeros((), jnp.int32),
+    )

@@ -1,0 +1,350 @@
+"""Batched per-burst downmix chain (device, vmap-able).
+
+TPU-first re-derivation of the reference `burst_downmix.c`: the reference
+runs 4 worker threads each processing one burst at a time with FFTW plans
+and SIMD FIRs; here the whole chain runs as one jitted program over a
+fixed-size *batch* of bursts (the worker pool becomes a batch dimension),
+with FIRs as strided XLA convolutions (MXU) and FFTs batched.
+
+Behavior parity sources (reference file:line):
+  - sync word templates:        burst_downmix.c:138-219
+  - coarse CFO rotate:          burst_downmix.c:663-672 (+ rotator.h:36-46)
+  - decimating anti-alias FIR:  burst_downmix.c:417-437 (250-499: tap design
+                                at fixed 10 MHz design rate)
+  - noise-limiting LPF (same):  burst_downmix.c:682-698
+  - burst start detect:         burst_downmix.c:441-478
+  - fine CFO (squared FFT x16
+    oversample + quad interp):  burst_downmix.c:482-535
+  - RRC matched filter:         burst_downmix.c:723-734
+  - FFT sync correlation:       burst_downmix.c:539-639
+  - phase align + extraction:   burst_downmix.c:749-793
+
+All comparisons/aggregations are masked by the burst's true lengths so a
+zero-padded fixed-shape batch reproduces the variable-length reference
+behavior.
+
+Exactness notes: the coarse CFO phase ramp uses exact integer phase
+arithmetic ((k*n) mod fft_size) instead of the reference's incrementally
+renormalized rotator, and the fine CFO ramp splits the frequency into an
+integer FFT-bin part (exact int mod) plus a fractional correction, so
+float32 phase accuracy holds over million-sample bursts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import iridium
+from ..config import DetectorParams, DownmixParams
+from ..ops import filters, windows
+
+RRC_NTAPS = 51
+RC_NTAPS = 51
+RRC_ALPHA = 0.4
+START_THRESHOLD = 0.45
+DIR_DL = 0
+DIR_UL = 1
+
+
+class DownmixConsts(NamedTuple):
+    """Host-precomputed numpy constants for the downmix chain."""
+    input_taps: np.ndarray      # (801,) f32 anti-alias decimation FIR
+    noise_taps: np.ndarray      # (25,) f32
+    box_taps: np.ndarray        # (20,) f32
+    rrc_taps: np.ndarray        # (51,) f32
+    cfo_window: np.ndarray      # (cfo_fft_size,) f32 Blackman
+    dl_sync_fft: np.ndarray     # (corr_fft,) c64
+    ul_sync_fft: np.ndarray     # (corr_fft,) c64
+    dl_sync_len: int
+    ul_sync_len: int
+
+
+def generate_sync_word(dmp: DownmixParams, uw, preamble_len: int,
+                       is_uplink: bool, rc: np.ndarray):
+    """Correlation template: preamble+UW symbols, upsampled, RC-shaped,
+    reversed+conjugated, FFT'd (reference burst_downmix.c:138-219)."""
+    s0 = np.complex64(1 + 1j)
+    s1 = np.complex64(-1 - 1j)
+    if is_uplink:
+        pre = [s1 if i % 2 == 0 else s0 for i in range(preamble_len)]
+    else:
+        pre = [s0] * preamble_len
+    symbols = np.array(pre + [s0 if u == 0 else s1 for u in uw],
+                       dtype=np.complex64)
+    isps = int(round(dmp.samples_per_symbol))
+    padded_len = len(symbols) * isps - (isps - 1)
+    padded = np.zeros(padded_len, np.complex64)
+    padded[::isps] = symbols
+    half = (len(rc) - 1) // 2
+    buf = np.concatenate([np.zeros(half, np.complex64), padded,
+                          np.zeros(len(rc) - 1 - half, np.complex64)])
+    # fir_filter_ccf is a correlation: out[i] = sum_k taps[k] * in[i+k]
+    shaped = (np.correlate(buf.real, rc, mode="valid")
+              + 1j * np.correlate(buf.imag, rc, mode="valid")
+              ).astype(np.complex64)
+    template = np.conj(shaped[::-1])
+    padded_fft = np.zeros(dmp.corr_fft_size, np.complex64)
+    padded_fft[:padded_len] = template
+    return np.fft.fft(padded_fft).astype(np.complex64), padded_len
+
+
+def make_consts(dmp: DownmixParams) -> DownmixConsts:
+    out_rate = float(dmp.output_sample_rate)
+    # Input anti-alias filter designed at a FIXED 10 MHz rate regardless of
+    # the true input rate (reference burst_downmix.c:250-261)
+    input_taps = filters.lpf_taps(1.0, 10_000_000.0, out_rate * 0.4,
+                                  out_rate * 0.2)
+    noise_taps = filters.lpf_taps(1.0, out_rate, 40_000.0 / 2.0, 40_000.0)
+    box_len = max(int(dmp.samples_per_symbol * 2), 3)
+    box = filters.box_taps(box_len)
+    rrc = filters.rrc_taps(1.0, out_rate, iridium.SYMBOLS_PER_SECOND,
+                           RRC_ALPHA, RRC_NTAPS)
+    rc = filters.rc_taps(out_rate, iridium.SYMBOLS_PER_SECOND,
+                         RRC_ALPHA, RC_NTAPS)
+    cfo_win = windows.blackman(dmp.cfo_fft_size)
+    dl_fft, dl_len = generate_sync_word(
+        dmp, iridium.UW_DL, iridium.PREAMBLE_LENGTH_SHORT, False, rc)
+    ul_fft, ul_len = generate_sync_word(
+        dmp, iridium.UW_UL, iridium.PREAMBLE_LENGTH_SHORT, True, rc)
+    return DownmixConsts(input_taps, noise_taps, box, rrc, cfo_win,
+                         dl_fft, ul_fft, dl_len, ul_len)
+
+
+def _fir_valid_c(x: jax.Array, taps: jax.Array, stride: int = 1) -> jax.Array:
+    """Valid-mode correlation FIR on complex input via two real strided
+    convolutions (maps onto the MXU): out[i] = sum_k taps[k]*x[i*stride+k]."""
+    lhs = jnp.stack([x.real, x.imag])[:, None, :]          # (2, 1, L)
+    rhs = taps[None, None, :]                               # (1, 1, T)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(stride,), padding="VALID")
+    return jax.lax.complex(out[0, 0], out[1, 0])
+
+
+def _fir_same_c(x: jax.Array, taps: jax.Array) -> jax.Array:
+    """Centered same-length correlation FIR (reference pads with zeros and
+    runs valid: burst_downmix.c:686-693)."""
+    t = taps.shape[0]
+    half = (t - 1) // 2
+    xp = jnp.pad(x, (half, t - 1 - half))
+    return _fir_valid_c(xp, taps)
+
+
+def _fir_valid_f(x: jax.Array, taps: jax.Array) -> jax.Array:
+    lhs = x[None, None, :]
+    rhs = taps[None, None, :]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID")
+    return out[0, 0]
+
+
+def _quad_interp(alpha, beta, gamma):
+    """Three-point quadratic peak interpolation with the reference's
+    denominator guard (burst_downmix.c:526-528)."""
+    denom = alpha - 2.0 * beta + gamma
+    return jnp.where(jnp.abs(denom) > 1e-10,
+                     0.5 * (alpha - gamma) / denom, 0.0)
+
+
+class DownmixOut(NamedTuple):
+    samples: jax.Array        # (max_frame_cap,) c64 from uw_start
+    n_samples: jax.Array      # i32 extract length
+    ok: jax.Array             # bool
+    direction: jax.Array      # i32 (0=DL, 1=UL)
+    start_dec: jax.Array      # i32 decimated-domain start (for timestamp)
+    fine_offset: jax.Array    # f32 fractional CFO (of output rate)
+    uw_corr: jax.Array        # f32 sub-sample UW start correction
+
+
+def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
+                     l_ext: int, max_frame_cap: int):
+    """Build the single-burst downmix function (vmap over the batch dim).
+
+    Args of the returned fn:
+      x:        (l_ext,) complex64 — extracted burst window (zero-padded)
+      ext_len:  i32 true number of valid samples in x
+      center_bin: i32 detector FFT bin (fftshifted)
+    """
+    c = make_consts(dmp)
+    F = det.fft_size
+    in_rate = det.sample_rate
+    decim = dmp.decimation
+    in_ntaps = len(c.input_taps)
+    noise_ntaps = len(c.noise_taps)
+    box_ntaps = len(c.box_taps)
+    box_half = (box_ntaps - 1) // 2
+    cfo_n = dmp.cfo_fft_size
+    cfo_total = dmp.cfo_fft_total
+    corr_n = dmp.corr_fft_size
+    search_cap = dmp.sync_search_len
+    dec_cap = dmp.dec_cap
+    # conv output length must cover dec_cap
+    n_conv = (l_ext - in_ntaps) // decim + 1
+    assert n_conv >= dec_cap, (n_conv, dec_cap)
+
+    input_taps = jnp.asarray(c.input_taps)
+    noise_taps = jnp.asarray(c.noise_taps)
+    box_t = jnp.asarray(c.box_taps)
+    rrc_t = jnp.asarray(c.rrc_taps)
+    cfo_win = jnp.asarray(c.cfo_window)
+    dl_fft = jnp.asarray(c.dl_sync_fft)
+    ul_fft = jnp.asarray(c.ul_sync_fft)
+
+    nm_ext = jnp.asarray(np.arange(l_ext, dtype=np.int64) % F,
+                         dtype=jnp.int32)
+    iota_dec = jnp.arange(dec_cap, dtype=jnp.int32)
+    iota_cfo = jnp.arange(cfo_n, dtype=jnp.int32)
+    iota_corr = jnp.arange(corr_n, dtype=jnp.int32)
+    iota_search = jnp.arange(search_cap, dtype=jnp.int32)
+
+    sps = float(dmp.samples_per_symbol)
+    dl_pre_off = int(iridium.PREAMBLE_LENGTH_SHORT * sps)
+    ul_pre_off = int(32 * sps)
+
+    def downmix_one(x, ext_len, center_bin):
+        ok = ext_len >= 100
+
+        # --- Step 1: coarse CFO rotate (exact integer phase) ---
+        k = center_bin - F // 2
+        m = jnp.mod(k * nm_ext, F)
+        ang = (-2.0 * np.pi / F) * m.astype(jnp.float32)
+        x = x * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+
+        # --- Step 2: decimate (valid, strided) ---
+        dec_full = _fir_valid_c(x, input_taps, stride=decim)[:dec_cap]
+        dec_len = jnp.clip((ext_len - in_ntaps + 1) // decim, 0, dec_cap)
+        ok &= dec_len >= 100
+        dec_full = jnp.where(iota_dec < dec_len, dec_full, 0.0)
+
+        # --- Step 2b: noise LPF ("same"; skipped for very short bursts,
+        # burst_downmix.c:684-697) ---
+        nl = _fir_same_c(dec_full, noise_taps)
+        xd = jnp.where(dec_len - noise_ntaps + 1 > 0, nl, dec_full)
+        xd = jnp.where(iota_dec < dec_len, xd, 0.0)
+
+        # --- Step 3: find burst start ---
+        mag2 = jnp.abs(xd) ** 2
+        filt = _fir_valid_f(jnp.pad(mag2, (0, box_ntaps - 1)), box_t)
+        flen = jnp.maximum(dec_len - box_ntaps + 1, 0)
+        fmask = iota_dec < flen
+        filt_m = jnp.where(fmask, filt, -jnp.inf)
+        max_val = jnp.max(filt_m)
+        thr = START_THRESHOLD * max_val
+        hit = fmask & (filt >= thr)
+        first = jnp.argmax(hit).astype(jnp.int32)
+        found = jnp.any(hit)
+        first = jnp.where(found, first, flen)
+        start = jnp.where(
+            first > 0,
+            jnp.maximum(first + box_half - dmp.pre_start_samples, 0),
+            0)
+        start = jnp.where(flen > 0, start, 0)
+        ok &= start < dec_len - 100
+        frame_len = dec_len - start
+
+        # --- frame gather: shift so the frame starts at index 0 ---
+        xf = jax.lax.dynamic_slice(
+            jnp.pad(xd, (0, dec_cap)), (start,), (dec_cap,))
+        xf = jnp.where(iota_dec < frame_len, xf, 0.0)
+
+        # --- Step 4: fine CFO estimate ---
+        ncfo = jnp.minimum(cfo_n, frame_len)
+        z = xf[:cfo_n]
+        z = jnp.where(iota_cfo < ncfo, z * z * cfo_win, 0.0)
+        spec = jnp.fft.fft(z, n=cfo_total)
+        p = jnp.abs(spec) ** 2
+        idx = jnp.argmax(p).astype(jnp.int32)
+        u = jnp.where(idx >= cfo_total // 2, idx - cfo_total, idx)
+        interior = (idx > 0) & (idx < cfo_total - 1)
+        a = p[jnp.clip(idx - 1, 0, cfo_total - 1)]
+        g = p[jnp.clip(idx + 1, 0, cfo_total - 1)]
+        corr = jnp.where(interior, _quad_interp(a, p[idx], g), 0.0)
+        fine_offset = (u.astype(jnp.float32) + corr) / cfo_total / 2.0
+
+        # --- Step 5: fine rotate (integer part exact, fraction in f32) ---
+        two_total = 2 * cfo_total
+        mfine = jnp.mod(u * iota_dec, two_total).astype(jnp.float32)
+        frac = (corr * iota_dec.astype(jnp.float32)) / two_total
+        angf = (-2.0 * np.pi) * (mfine / two_total + frac)
+        xf = xf * jax.lax.complex(jnp.cos(angf), jnp.sin(angf))
+
+        # --- Step 6: RRC matched filter ("same") ---
+        xf = jnp.where(iota_dec < frame_len, xf, 0.0)
+        xr = _fir_same_c(xf, rrc_t)
+
+        # --- Step 7: sync-word correlation ---
+        search_len = jnp.minimum(search_cap, frame_len)
+        fwd_in = jnp.where(iota_search < search_len, xr[:search_cap], 0.0)
+        fwd = jnp.fft.fft(fwd_in, n=corr_n)
+        dl_c = jnp.fft.ifft(fwd * dl_fft)
+        ul_c = jnp.fft.ifft(fwd * ul_fft)
+        smask = iota_corr < search_len
+
+        def peak(cc):
+            pm = jnp.where(smask, jnp.abs(cc) ** 2, -1.0)
+            off = jnp.argmax(pm).astype(jnp.int32)
+            return off, pm[off]
+
+        off_dl, max_dl = peak(dl_c)
+        off_ul, max_ul = peak(ul_c)
+        is_dl = max_dl >= max_ul
+        off = jnp.where(is_dl, off_dl, off_ul)
+        cc = jnp.where(is_dl, dl_c, ul_c)
+        corr_val = cc[off]
+        interior = (off > 0) & (off < search_len - 1)
+        pa = jnp.abs(cc[jnp.clip(off - 1, 0, corr_n - 1)]) ** 2
+        pb = jnp.abs(corr_val) ** 2
+        pg = jnp.abs(cc[jnp.clip(off + 1, 0, corr_n - 1)]) ** 2
+        uw_corr = jnp.where(interior, _quad_interp(pa, pb, pg), 0.0)
+
+        sync_len = jnp.where(is_dl, c.dl_sync_len, c.ul_sync_len)
+        pre_off = jnp.where(is_dl, dl_pre_off, ul_pre_off)
+        uw_start = off - sync_len + 1 + pre_off
+        ok &= (uw_start >= 0) & (uw_start < frame_len)
+
+        # --- Step 8: phase align ---
+        cmag = jnp.abs(corr_val)
+        pc = jnp.where(cmag > 0, jnp.conj(corr_val / cmag),
+                       jnp.complex64(1.0))
+        xa = xr * pc
+
+        # --- Step 9: extract from uw_start ---
+        # center frequency at this point: base + coarse + fine; the
+        # simplex/normal split needs the absolute frequency, computed here
+        # from exact parts (reference burst_downmix.c:763-770)
+        # f32 is enough here: only the simplex/normal split consumes this
+        # (boundary fuzz ~1 kHz out of a 10 MHz band); the printed frequency
+        # is reassembled on the host in float64 from the exact parts.
+        cf = (det.center_frequency
+              + k.astype(jnp.float32) / F * in_rate
+              + fine_offset * dmp.output_sample_rate)
+        simplex = cf > iridium.SIMPLEX_FREQUENCY_MIN
+        max_len = jnp.where(simplex,
+                            jnp.int32(int(iridium.MAX_FRAME_LENGTH_SIMPLEX * sps)),
+                            jnp.int32(int(iridium.MAX_FRAME_LENGTH_NORMAL * sps)))
+        min_len = jnp.where(simplex,
+                            jnp.int32(int(iridium.MIN_FRAME_LENGTH_SIMPLEX * sps)),
+                            jnp.int32(int(iridium.MIN_FRAME_LENGTH_NORMAL * sps)))
+        available = frame_len - uw_start
+        ok &= available >= min_len
+        n_samples = jnp.minimum(available, max_len)
+        out = jax.lax.dynamic_slice(
+            jnp.pad(xa, (0, max_frame_cap)),
+            (jnp.clip(uw_start, 0, dec_cap),), (max_frame_cap,))
+        out = jnp.where(jnp.arange(max_frame_cap) < n_samples, out, 0.0)
+
+        return DownmixOut(
+            samples=out,
+            n_samples=jnp.where(ok, n_samples, 0),
+            ok=ok,
+            direction=jnp.where(is_dl, DIR_DL, DIR_UL).astype(jnp.int32),
+            start_dec=start,
+            fine_offset=fine_offset,
+            uw_corr=uw_corr,
+        )
+
+    return downmix_one
