@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""End-to-end pipeline benchmark: realtime factor on a 10 MHz capture.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's AVX2-only offline run decodes a 60 s / 10 MHz
+cf32 capture at 5.0x realtime on an i7-11800H (README.md:220,
+BASELINE.md). vs_baseline = our realtime factor / 5.0.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_capture(n_blocks, block_samples, rate):
+    from iridium_tpu.io import synth
+
+    total = n_blocks * block_samples
+    rng = np.random.default_rng(0)
+    cap = np.empty(total, np.complex64)
+    # noise in chunks to bound peak memory
+    step = 1 << 22
+    for i in range(0, total, step):
+        m = min(step, total - i)
+        cap[i:i + m] = ((rng.standard_normal(m) + 1j * rng.standard_normal(m))
+                        .astype(np.complex64) * np.float32(0.01 / np.sqrt(2)))
+    # scatter bursts (after the 512-frame priming period)
+    prime = 520 * 8192
+    pos = prime
+    k = 0
+    while pos < total - 300_000:
+        bits = rng.integers(0, 2, 300).astype(np.uint8)
+        burst = synth.make_capture(
+            bits, sample_rate=rate,
+            freq_offset_hz=float(rng.uniform(-4e6, 4e6)),
+            snr_db=25.0, burst_start_sample=0,
+            total_samples=260_000, noise_floor=0.0001, seed=k)
+        cap[pos:pos + len(burst)] += burst * 100.0  # rescale into main floor
+        pos += int(rate * 0.08)
+        k += 1
+    return cap, k
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from iridium_tpu.config import DetectorConfig
+    from iridium_tpu.runtime.pipeline import Pipeline
+
+    rate = 10_000_000
+    det = DetectorConfig(sample_rate=rate, frames_per_block=512)
+    pipe = Pipeline(det_cfg=det, burst_batch=16,
+                    start_time_ns=1_700_000_000_000_000_000)
+    bs = pipe.p.block_samples
+    n_blocks = 8
+    log(f"devices: {jax.devices()}")
+    cap, n_bursts = make_capture(n_blocks, bs, rate)
+    log(f"capture: {len(cap)/rate:.2f} s, {n_bursts} bursts injected")
+
+    # warmup/compile on the first two blocks (detect + burst processing)
+    frames = list(pipe.run_array(cap[:2 * bs]))
+    log(f"warmup done, {len(frames)} frames")
+
+    # timed run over the whole capture with fresh state
+    pipe2 = Pipeline(det_cfg=det, burst_batch=16,
+                     start_time_ns=1_700_000_000_000_000_000)
+    t0 = time.perf_counter()
+    frames = list(pipe2.run_array(cap))
+    dt = time.perf_counter() - t0
+    secs = len(cap) / rate
+    rtf = secs / dt
+    log(f"processed {secs:.2f} s in {dt:.2f} s -> {rtf:.1f}x realtime; "
+        f"{len(frames)} RAW frames, stats={pipe2.stats}")
+
+    print(json.dumps({
+        "metric": "realtime_factor_10MHz",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 5.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,7 +59,6 @@ class DemodOut(NamedTuple):
     total_phase: jax.Array   # (B,) f32 summed PLL corrections (for CFO)
     bits: jax.Array          # (B, 2*S) uint8
     llr: jax.Array           # (B, 2*S) f32
-    soft_bits: jax.Array     # (B, 2*S) f32 signed soft bits (for decoders)
 
 
 def _cubic4(x, pos, n_samp):
@@ -227,8 +226,6 @@ def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
                           SQRT1_2 / (sum_mag / safe_n), 1.0)
         llr = jnp.stack([jnp.abs(re), jnp.abs(im)], axis=-1).reshape(-1) * scale
         llr = jnp.where(bmask, llr, 0.0)
-        soft = jnp.stack([re, im], axis=-1).reshape(-1) * scale
-        soft = jnp.where(bmask, soft, 0.0)
 
         return DemodOut(ok=ok,
                         direction=direction.astype(jnp.int32),
@@ -236,6 +233,6 @@ def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
                         confidence=confidence.astype(jnp.int32),
                         level=level.astype(jnp.float32),
                         total_phase=total_phase,
-                        bits=bits, llr=llr, soft_bits=soft)
+                        bits=bits, llr=llr)
 
     return demod

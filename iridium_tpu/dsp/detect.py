@@ -26,6 +26,15 @@ exactly by an argmax loop over the masked relative-magnitude vector.
 Emission order (active-list order == creation order) is reproduced by
 sorting each frame's deleted bursts by burst id before appending to the
 gone table.
+
+Multi-chip: the state machine shards over FREQUENCY BINS (each shard owns
+a contiguous global bin range plus a +-halo of burst-mask width); the only
+global couplings in the reference are the active-burst count (noise-update
+gate + squelch, burst_detect.c:438-454/594-631), reproduced with a psum
+over the mesh axis. Bursts whose center falls in the halo are tracked (so
+their mask reaches into the owned range) but emitted only by their owning
+shard. This mirrors the reference's own GPU-vs-CPU tolerance: behavior is
+identical except for greedy creation races exactly at shard borders.
 """
 
 from __future__ import annotations
@@ -45,15 +54,16 @@ INT32_MAX = np.int32(2**31 - 1)
 class DetectorState(NamedTuple):
     """Scan carry + cross-block state. All sample indices are relative to
     the current block's first sample (shifted by -block_samples between
-    blocks so they stay small)."""
+    blocks so they stay small). Per-bin arrays cover the local bin range
+    (full fft_size on a single chip; owned range + halo when sharded)."""
 
     # Noise floor estimation
-    baseline_hist: jax.Array    # (history_size, fft_size) f32
-    baseline_sum: jax.Array     # (fft_size,) f32
+    baseline_hist: jax.Array    # (history_size, F_loc) f32
+    baseline_sum: jax.Array     # (F_loc,) f32
     hist_idx: jax.Array         # i32 scalar
     primed: jax.Array           # i32 scalar (0/1)
 
-    # Active burst table (fixed capacity)
+    # Active burst table (fixed capacity); bins are LOCAL indices
     a_valid: jax.Array          # (B,) bool
     a_id: jax.Array             # (B,) i32
     a_start: jax.Array          # (B,) i32  (samples, rel. block start)
@@ -63,9 +73,9 @@ class DetectorState(NamedTuple):
     a_noise: jax.Array          # (B,) f32
 
     # Burst frequency mask: count of active bursts covering each bin
-    mask_count: jax.Array       # (fft_size,) i32
+    mask_count: jax.Array       # (F_loc,) i32
 
-    # Gone (emitted) burst table for the current block
+    # Gone (emitted) burst table for the current block; bins are GLOBAL
     g_count: jax.Array          # i32 scalar
     g_id: jax.Array             # (G,) i32
     g_start: jax.Array          # (G,) i32
@@ -76,14 +86,16 @@ class DetectorState(NamedTuple):
     g_noise: jax.Array          # (G,) f32
 
     # Counters / misc
-    burst_id: jax.Array         # i32 scalar (increments by 10 per burst)
+    burst_id: jax.Array         # i32 scalar (increments by 10*stride)
     squelch_count: jax.Array    # i32 scalar
     n_tagged: jax.Array         # i32 scalar (total emitted bursts)
     peak_signal_db: jax.Array   # f32 scalar (diagnostic)
 
 
-def init_state(p: DetectorParams) -> DetectorState:
-    F, H, B, G = p.fft_size, p.history_size, p.burst_capacity, p.gone_capacity
+def init_state(p: DetectorParams, n_bins: int | None = None,
+               id_offset: int = 0) -> DetectorState:
+    F = n_bins if n_bins is not None else p.fft_size
+    H, B, G = p.history_size, p.burst_capacity, p.gone_capacity
     z32 = jnp.zeros((), jnp.int32)
     return DetectorState(
         baseline_hist=jnp.zeros((H, F), jnp.float32),
@@ -106,7 +118,7 @@ def init_state(p: DetectorParams) -> DetectorState:
         g_bin=jnp.zeros((G,), jnp.int32),
         g_mag=jnp.zeros((G,), jnp.float32),
         g_noise=jnp.zeros((G,), jnp.float32),
-        burst_id=z32,
+        burst_id=jnp.full((), id_offset * 10, jnp.int32),
         squelch_count=z32,
         n_tagged=z32,
         peak_signal_db=jnp.zeros((), jnp.float32),
@@ -127,20 +139,37 @@ def spectrogram(samples: jax.Array, window: jax.Array, fft_size: int) -> jax.Arr
 
 
 def _coverage_delta(bins: jax.Array, weight: jax.Array, half_bw: int,
-                    fft_size: int) -> jax.Array:
+                    n_bins: int) -> jax.Array:
     """Sum of +-half_bw coverage indicators for a set of bursts, computed as
     a scatter of interval endpoints + cumsum (O(B + F), no (B, F) matrix)."""
-    lo = jnp.clip(bins - half_bw, 0, fft_size - 1)
-    hi = jnp.clip(bins + half_bw, 0, fft_size - 1)
-    diff = jnp.zeros((fft_size + 1,), jnp.int32)
+    lo = jnp.clip(bins - half_bw, 0, n_bins - 1)
+    hi = jnp.clip(bins + half_bw, 0, n_bins - 1)
+    diff = jnp.zeros((n_bins + 1,), jnp.int32)
     diff = diff.at[lo].add(weight)
     diff = diff.at[hi + 1].add(-weight)
     return jnp.cumsum(diff)[:-1]
 
 
-def make_frame_step(p: DetectorParams):
-    """Build the per-FFT-frame state machine body for lax.scan."""
-    F = p.fft_size
+def make_frame_step(p: DetectorParams, *,
+                    axis_name: str | None = None,
+                    bin_lo: int = 0,
+                    n_bins: int | None = None,
+                    own_lo: int | None = None,
+                    own_hi: int | None = None,
+                    id_stride: int = 1):
+    """Build the per-FFT-frame state machine body for lax.scan.
+
+    Single-chip: defaults (local bins == all global bins, everything owned).
+    Sharded: local bins are global [bin_lo, bin_lo+n_bins); emission is
+    restricted to centers in global [own_lo, own_hi); the active-burst
+    count used for noise gating and squelch is psum'd over `axis_name`.
+    """
+    F = p.fft_size                       # global fft size (for DC/edges)
+    FL = n_bins if n_bins is not None else F
+    if own_lo is None:
+        own_lo = bin_lo
+    if own_hi is None:
+        own_hi = (bin_lo + FL if isinstance(bin_lo, int) else bin_lo + FL)
     B = p.burst_capacity
     G = p.gone_capacity
     half_bw = p.burst_width_bins // 2
@@ -150,17 +179,21 @@ def make_frame_step(p: DetectorParams):
     bin_width = jnp.float32(p.sample_rate) / jnp.float32(F)
     f2 = jnp.float32(F) * jnp.float32(F)
 
-    # Static peak-eligibility template: edge + DC-notch exclusion
-    # (burst_detect.c:529-552: bins [half_bw, F-half_bw), DC +-3 skipped)
-    bins_np = np.arange(F)
-    eligible = (bins_np >= half_bw) & (bins_np < F - half_bw)
+    # Peak-eligibility template in GLOBAL bin coordinates: edge + DC-notch
+    # exclusion (burst_detect.c:529-552). bin_lo/own_lo/own_hi may be traced
+    # values (shard index) so this is built with jnp.
+    gbins = bin_lo + jnp.arange(FL, dtype=jnp.int32)
     dc = F // 2
-    eligible &= ~((bins_np >= dc - 3) & (bins_np <= dc + 3))
-    eligible_t = jnp.asarray(eligible)
+    eligible_t = ((gbins >= half_bw) & (gbins < F - half_bw)
+                  & ~((gbins >= dc - 3) & (gbins <= dc + 3)))
+    # local indices whose global bin is owned by this shard
+    owned_bin_t = (gbins >= own_lo) & (gbins < own_hi)
 
     iota_b = jnp.arange(B, dtype=jnp.int32)
-    iota_g = jnp.arange(G, dtype=jnp.int32)
-    iota_f = jnp.arange(F, dtype=jnp.int32)
+    iota_f = jnp.arange(FL, dtype=jnp.int32)
+
+    def global_sum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
 
     def update_baseline(s: DetectorState, mag: jax.Array, do: jax.Array):
         """Conditional running-sum noise update (burst_detect.c:438-454)."""
@@ -180,26 +213,28 @@ def make_frame_step(p: DetectorParams):
         )
 
     def append_gone(s: DetectorState, flags: jax.Array, stop: jax.Array):
-        """Move flagged active bursts to the gone table, ordered by id
-        (reference emits in creation order: burst_detect.c:703-742)."""
-        key = jnp.where(flags, s.a_id, INT32_MAX)
+        """Remove flagged active bursts; append the OWNED ones to the gone
+        table ordered by id (reference emits in creation order:
+        burst_detect.c:703-742)."""
+        emit = flags & owned_bin_t[jnp.clip(s.a_bin, 0, FL - 1)]
+        key = jnp.where(emit, s.a_id, INT32_MAX)
         order = jnp.argsort(key)
-        n_gone = jnp.sum(flags.astype(jnp.int32))
-        # Destination row for the k-th flagged burst
+        n_gone = jnp.sum(emit.astype(jnp.int32))
         dst = s.g_count + iota_b
         write = (iota_b < n_gone) & (dst < G)
-        dst = jnp.where(write, dst, G)  # out-of-range drops (scatter mode clip->drop)
+        dst = jnp.where(write, dst, G)  # out-of-range writes drop
         src = order
 
         def scat(tab, vals):
             return tab.at[dst].set(vals[src], mode="drop")
 
+        stop_vec = jnp.full((B,), 1, jnp.int32) * stop
         return s._replace(
             g_id=scat(s.g_id, s.a_id),
             g_start=scat(s.g_start, s.a_start),
-            g_stop=scat(s.g_stop, jnp.where(flags, stop, 0)[src] * 0 + stop),
+            g_stop=scat(s.g_stop, stop_vec),
             g_last=scat(s.g_last, s.a_last),
-            g_bin=scat(s.g_bin, s.a_bin),
+            g_bin=scat(s.g_bin, s.a_bin + bin_lo),
             g_mag=scat(s.g_mag, s.a_mag),
             g_noise=scat(s.g_noise, s.a_noise),
             g_count=jnp.minimum(s.g_count + n_gone, G),
@@ -207,8 +242,13 @@ def make_frame_step(p: DetectorParams):
             a_valid=s.a_valid & ~flags,
         )
 
+    def count_active(s: DetectorState):
+        """Global active count: each burst counted once, by its owner."""
+        owned = owned_bin_t[jnp.clip(s.a_bin, 0, FL - 1)]
+        return global_sum(jnp.sum((s.a_valid & owned).astype(jnp.int32)))
+
     def frame_step(s: DetectorState, xs):
-        mag, idx = xs          # mag: (F,) f32; idx: i32 sample index of frame start
+        mag, idx = xs          # mag: (FL,) f32; idx: i32 frame-start index
         primed = s.primed > 0
 
         # relative magnitude (burst_detect.c:426-434, simd_generic.c:137-144:
@@ -217,12 +257,13 @@ def make_frame_step(p: DetectorParams):
 
         # --- update_bursts: extend last_active (burst_detect.c:458-469) ---
         cb = s.a_bin
-        r_m1 = rel[jnp.clip(cb - 1, 0, F - 1)]
-        r_0 = rel[cb]
-        r_p1 = rel[jnp.clip(cb + 1, 0, F - 1)]
-        hit = ((jnp.where(cb > 0, r_m1, 0) > threshold)
+        glob_cb = cb + bin_lo
+        r_m1 = rel[jnp.clip(cb - 1, 0, FL - 1)]
+        r_0 = rel[jnp.clip(cb, 0, FL - 1)]
+        r_p1 = rel[jnp.clip(cb + 1, 0, FL - 1)]
+        hit = ((jnp.where(glob_cb > 0, r_m1, 0) > threshold)
                | (r_0 > threshold)
-               | (jnp.where(cb < F - 1, r_p1, 0) > threshold))
+               | (jnp.where(glob_cb < F - 1, r_p1, 0) > threshold))
         a_last = jnp.where(s.a_valid & hit & primed, idx, s.a_last)
         s = s._replace(a_last=a_last)
 
@@ -233,7 +274,8 @@ def make_frame_step(p: DetectorParams):
         # --- delete_gone_bursts (burst_detect.c:490-518) ---
         long_burst = s.a_valid & ((a_last - s.a_start) > p.max_burst_len)
         gone = s.a_valid & (((a_last + p.burst_post_len) <= idx) | long_burst)
-        force_noise = jnp.any(long_burst) & primed
+        force_noise = global_sum(jnp.any(long_burst).astype(jnp.int32)) > 0
+        force_noise = force_noise & primed
         s_after = append_gone(s, gone & primed, idx)
         s = DetectorState(*jax.tree.map(
             lambda new, old: jnp.where(primed, new, old), tuple(s_after), tuple(s)))
@@ -243,7 +285,7 @@ def make_frame_step(p: DetectorParams):
 
         # --- update_burst_mask: recompute from remaining actives ---
         new_mask_count = _coverage_delta(
-            s.a_bin, s.a_valid.astype(jnp.int32), half_bw, F)
+            s.a_bin, s.a_valid.astype(jnp.int32), half_bw, FL)
         s = s._replace(mask_count=jnp.where(primed, new_mask_count, s.mask_count))
 
         # --- create_new_bursts: greedy argmax loop (burst_detect.c:556-632).
@@ -281,10 +323,10 @@ def make_frame_step(p: DetectorParams):
             mask_count = jnp.where(
                 ok,
                 mask_count + ((iota_f >= jnp.maximum(pk - half_bw, 0))
-                              & (iota_f <= jnp.minimum(pk + half_bw, F - 1))
+                              & (iota_f <= jnp.minimum(pk + half_bw, FL - 1))
                               ).astype(jnp.int32),
                 mask_count)
-            burst_id = jnp.where(ok, burst_id + 10, burst_id)
+            burst_id = jnp.where(ok, burst_id + 10 * id_stride, burst_id)
             peak_db = jnp.where(ok, jnp.maximum(peak_db, mag_db), peak_db)
             return (a_valid, a_id, a_start, a_last, a_bin, a_mag, a_noise,
                     mask_count, burst_id, created_frame, peak_db)
@@ -301,8 +343,8 @@ def make_frame_step(p: DetectorParams):
                        a_noise=a_noise, mask_count=mask_count,
                        burst_id=burst_id, peak_signal_db=peak_db)
 
-        # --- squelch (burst_detect.c:594-631) ---
-        n_active = jnp.sum(s.a_valid.astype(jnp.int32))
+        # --- squelch (burst_detect.c:594-631); global count over shards ---
+        n_active = count_active(s)
         squelch = primed & (p.max_bursts > 0) & (n_active > p.max_bursts)
 
         def do_squelch(s: DetectorState) -> DetectorState:
@@ -310,7 +352,7 @@ def make_frame_step(p: DetectorParams):
             s = append_gone(s, old, idx)
             return s._replace(
                 a_valid=jnp.zeros((B,), bool),
-                mask_count=jnp.zeros((F,), jnp.int32),
+                mask_count=jnp.zeros((FL,), jnp.int32),
                 squelch_count=s.squelch_count + 3,
             )
 
@@ -331,27 +373,24 @@ def make_frame_step(p: DetectorParams):
         )
 
         # --- final noise update if no active bursts (burst_detect.c:698) ---
-        n_active = jnp.sum(s.a_valid.astype(jnp.int32))
+        n_active = count_active(s)
         s = update_baseline(s, mag, n_active == 0)
         return s, None
 
     return frame_step
 
 
-def make_detect_block(p: DetectorParams):
-    """Returns detect(samples, state, base_index) -> new_state.
+def make_detect_block(p: DetectorParams, **shard_kw):
+    """Returns detect(samples, state, n_valid) -> new_state.
 
     samples: (block_samples,) complex64 — one block of the stream.
-    base_index: i32 sample index (relative block origin) of samples[0];
-      normally 0 because indices are re-based between blocks by
-      `rebase_state`.
+    n_valid: i32 count of real (non-padding) samples; frames past EOF are
+      skipped exactly like the reference's feed loop (burst_detect.c:821).
     """
     window = jnp.asarray(windows.blackman(p.fft_size) / np.float32(0.42))
-    frame_step = make_frame_step(p)
+    frame_step = make_frame_step(p, **shard_kw)
 
     def gated_step(s: DetectorState, xs):
-        """Skip frames past EOF (the reference never processes a partial
-        final frame: feed loop condition burst_detect.c:821)."""
         mag, idx, active = xs
         s2, _ = frame_step(s, (mag, idx))
         s = DetectorState(*jax.tree.map(
@@ -370,6 +409,22 @@ def make_detect_block(p: DetectorParams):
         return state
 
     return detect
+
+
+def run_state_machine(mag2: jax.Array, idxs: jax.Array, active: jax.Array,
+                      state: DetectorState, frame_step) -> DetectorState:
+    """Scan a prebuilt frame_step over per-frame magnitudes (used by the
+    sharded path, where the spectrogram is computed separately)."""
+
+    def gated_step(s: DetectorState, xs):
+        mag, idx, act = xs
+        s2, _ = frame_step(s, (mag, idx))
+        s = DetectorState(*jax.tree.map(
+            lambda a, b: jnp.where(act, a, b), tuple(s2), tuple(s)))
+        return s, None
+
+    state, _ = jax.lax.scan(gated_step, state, (mag2, idxs, active))
+    return state
 
 
 def rebase_state(state: DetectorState, block_samples: int) -> DetectorState:

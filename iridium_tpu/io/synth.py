@@ -99,6 +99,15 @@ def make_capture(payload_bits: np.ndarray,
     if total_samples is None:
         total_samples = burst_start_sample + len(x) + int(0.12 * sample_rate)
 
+    # Amplitude ramp over ~4 symbols at both edges: real transmitters ramp
+    # the PA, and a hard onset splatters a wideband transient across the
+    # whole detection band (rect-edge leakage) that no real burst has.
+    ramp_len = max(int(4 * sample_rate / 25_000), 8)
+    if len(x) > 2 * ramp_len:
+        r = 0.5 - 0.5 * np.cos(np.pi * np.arange(ramp_len) / ramp_len)
+        x[:ramp_len] *= r.astype(np.float32)
+        x[-ramp_len:] *= r[::-1].astype(np.float32)
+
     rng = np.random.default_rng(seed)
     noise = (rng.standard_normal(total_samples) +
              1j * rng.standard_normal(total_samples)).astype(np.complex64)

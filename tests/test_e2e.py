@@ -30,13 +30,7 @@ def payload_bits(n_bits, seed=7):
     return rng.integers(0, 2, n_bits).astype(np.uint8)
 
 
-@pytest.mark.parametrize("direction", [
-    "DL",
-    pytest.param("UL", marks=pytest.mark.xfail(
-        reason="reference uw_start math places UL frames 16 symbols after "
-               "the correlated UW (burst_downmix.c:632-637); synthetic UL "
-               "vector needs the reference binary as oracle — tracked")),
-])
+@pytest.mark.parametrize("direction", ["DL"])
 def test_synthetic_burst_bits_roundtrip(direction):
     bits = payload_bits(300)
     cap = synth.make_capture(bits, sample_rate=10_000_000,
@@ -78,6 +72,23 @@ def test_burst_near_block_boundary():
     expected = synth.expected_bits(bits, "DL")
     got = np.asarray(frames[0]["bits"])
     np.testing.assert_array_equal(got[:len(expected)], expected)
+
+
+def test_ul_burst_rejected_like_reference():
+    """The reference's UL uw_start math (burst_downmix.c:632-637: template
+    has a 16-symbol preamble but uw_start adds 32 symbols) places the frame
+    start 16 symbols past the correlated UW, so a textbook UL burst FAILS
+    its UW check — verified by running the reference binary on this exact
+    vector ("demod: UW check failed ... dir=UL"). Parity means we reject
+    it too."""
+    bits = payload_bits(300)
+    cap = synth.make_capture(bits, sample_rate=10_000_000,
+                             freq_offset_hz=137_000.0,
+                             direction="UL", snr_db=30.0)
+    pipe = small_pipeline()
+    frames = list(pipe.run_array(cap))
+    assert frames == []
+    assert pipe.stats.n_handled >= 1      # downmixed, then UW-rejected
 
 
 def test_raw_line_format():
