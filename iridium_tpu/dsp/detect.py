@@ -182,15 +182,20 @@ def make_frame_step(p: DetectorParams, *,
     # Peak-eligibility template in GLOBAL bin coordinates: edge + DC-notch
     # exclusion (burst_detect.c:529-552). bin_lo/own_lo/own_hi may be traced
     # values (shard index) so this is built with jnp.
-    gbins = bin_lo + jnp.arange(FL, dtype=jnp.int32)
+    static_shard = all(isinstance(v, (int, np.integer))
+                       for v in (bin_lo, own_lo, own_hi))
+    gbins = bin_lo + (np.arange(FL, dtype=np.int32) if static_shard
+                      else jnp.arange(FL, dtype=jnp.int32))
     dc = F // 2
     eligible_t = ((gbins >= half_bw) & (gbins < F - half_bw)
                   & ~((gbins >= dc - 3) & (gbins <= dc + 3)))
     # local indices whose global bin is owned by this shard
-    owned_bin_t = (gbins >= own_lo) & (gbins < own_hi)
+    owned_bin = (gbins >= own_lo) & (gbins < own_hi)
 
-    iota_b = jnp.arange(B, dtype=jnp.int32)
-    iota_f = jnp.arange(FL, dtype=jnp.int32)
+    # numpy closure constants embed directly at lowering (device-array
+    # constants would need a device->host copy the axon backend lacks)
+    iota_b = np.arange(B, dtype=np.int32)
+    iota_f = np.arange(FL, dtype=np.int32)
 
     def global_sum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
@@ -216,7 +221,7 @@ def make_frame_step(p: DetectorParams, *,
         """Remove flagged active bursts; append the OWNED ones to the gone
         table ordered by id (reference emits in creation order:
         burst_detect.c:703-742)."""
-        emit = flags & owned_bin_t[jnp.clip(s.a_bin, 0, FL - 1)]
+        emit = flags & jnp.asarray(owned_bin)[jnp.clip(s.a_bin, 0, FL - 1)]
         key = jnp.where(emit, s.a_id, INT32_MAX)
         order = jnp.argsort(key)
         n_gone = jnp.sum(emit.astype(jnp.int32))
@@ -244,7 +249,7 @@ def make_frame_step(p: DetectorParams, *,
 
     def count_active(s: DetectorState):
         """Global active count: each burst counted once, by its owner."""
-        owned = owned_bin_t[jnp.clip(s.a_bin, 0, FL - 1)]
+        owned = jnp.asarray(owned_bin)[jnp.clip(s.a_bin, 0, FL - 1)]
         return global_sum(jnp.sum((s.a_valid & owned).astype(jnp.int32)))
 
     def frame_step(s: DetectorState, xs):
@@ -387,7 +392,7 @@ def make_detect_block(p: DetectorParams, **shard_kw):
     n_valid: i32 count of real (non-padding) samples; frames past EOF are
       skipped exactly like the reference's feed loop (burst_detect.c:821).
     """
-    window = jnp.asarray(windows.blackman(p.fft_size) / np.float32(0.42))
+    window = windows.blackman(p.fft_size) / np.float32(0.42)
     frame_step = make_frame_step(p, **shard_kw)
 
     def gated_step(s: DetectorState, xs):

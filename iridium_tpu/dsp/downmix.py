@@ -186,20 +186,21 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
     n_conv = (l_ext - in_ntaps) // decim + 1
     assert n_conv >= dec_cap, (n_conv, dec_cap)
 
-    input_taps = jnp.asarray(c.input_taps)
-    noise_taps = jnp.asarray(c.noise_taps)
-    box_t = jnp.asarray(c.box_taps)
-    rrc_t = jnp.asarray(c.rrc_taps)
-    cfo_win = jnp.asarray(c.cfo_window)
-    dl_fft = jnp.asarray(c.dl_sync_fft)
-    ul_fft = jnp.asarray(c.ul_sync_fft)
+    # numpy closure constants: embedded at lowering without any
+    # device->host copies (the axon backend cannot download constants)
+    input_taps = np.asarray(c.input_taps)
+    noise_taps = np.asarray(c.noise_taps)
+    box_t = np.asarray(c.box_taps)
+    rrc_t = np.asarray(c.rrc_taps)
+    cfo_win = np.asarray(c.cfo_window)
+    dl_fft = np.asarray(c.dl_sync_fft)
+    ul_fft = np.asarray(c.ul_sync_fft)
 
-    nm_ext = jnp.asarray(np.arange(l_ext, dtype=np.int64) % F,
-                         dtype=jnp.int32)
-    iota_dec = jnp.arange(dec_cap, dtype=jnp.int32)
-    iota_cfo = jnp.arange(cfo_n, dtype=jnp.int32)
-    iota_corr = jnp.arange(corr_n, dtype=jnp.int32)
-    iota_search = jnp.arange(search_cap, dtype=jnp.int32)
+    nm_ext = (np.arange(l_ext, dtype=np.int64) % F).astype(np.int32)
+    iota_dec = np.arange(dec_cap, dtype=np.int32)
+    iota_cfo = np.arange(cfo_n, dtype=np.int32)
+    iota_corr = np.arange(corr_n, dtype=np.int32)
+    iota_search = np.arange(search_cap, dtype=np.int32)
 
     sps = float(dmp.samples_per_symbol)
     dl_pre_off = int(iridium.PREAMBLE_LENGTH_SHORT * sps)

@@ -108,7 +108,7 @@ class ShardedPipeline:
         FL = self.n_bins_local
         halo = self.halo
         own = self.own_bins
-        window = jnp.asarray(windows.blackman(F) / np.float32(0.42))
+        window = windows.blackman(F) / np.float32(0.42)
         dm_one = downmix.make_downmix_one(p, dmp, self.l_ext,
                                           dmp.max_frame_samples)
         demod_one = demod_mod.make_demod(dmp.max_symbols,
