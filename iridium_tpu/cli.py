@@ -51,9 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="publish output via ZMQ PUB socket")
     p.add_argument("--web", nargs="?", const=8888, type=int, metavar="PORT",
                    help="enable live web map")
-    p.add_argument("--position", nargs="?", const=0.0, type=float,
+    p.add_argument("--position", nargs="?", const=-1.0, type=float,
                    metavar="HEIGHT_M",
-                   help="estimate receiver position from Doppler shift")
+                   help="estimate receiver position from Doppler shift "
+                        "(optional height aiding in meters)")
     p.add_argument("--acars", action="store_true",
                    help="decode and display ACARS messages from IDA")
     p.add_argument("--acars-json", action="store_true",
@@ -119,7 +120,8 @@ def main(argv=None) -> int:
     doppler = None
     if args.position is not None:
         from .decode.doppler import DopplerSolver
-        doppler = DopplerSolver(height_aid_m=args.position)
+        doppler = DopplerSolver(
+            height_aid_m=None if args.position < 0 else args.position)
 
     acars = None
     if args.acars or args.acars_json or args.acars_udp:
@@ -133,8 +135,13 @@ def main(argv=None) -> int:
     reasm_gsmtap = ida_mod.IdaReassembler() if gsmtap else None
     reasm_acars = ida_mod.IdaReassembler() if acars else None
 
+    # any ACARS mode suppresses RAW stdout (reference frame_output.c:162,
+    # options.c:403-431: --acars/--acars-json/--acars-udp/--feed all set
+    # acars_enabled)
+    acars_mode = acars is not None
+
     def emit(line: str) -> None:
-        if not args.diagnostic and not args.acars:
+        if not args.diagnostic and not acars_mode:
             print(line)
         if zmq_sock is not None:
             zmq_sock.send_string(line)
@@ -173,6 +180,15 @@ def main(argv=None) -> int:
         last_stat = now
         prev = dict(det=s.n_detected, ok=s.n_ok, handled=s.n_handled,
                     samples=s.n_samples)
+        # Doppler solve every ~10 s (reference main.c:507-519)
+        if doppler is not None and int(elapsed) % 10 == 0 and elapsed > 5:
+            sol = doppler.solve()
+            if sol.converged:
+                print(f"POSITION: {sol.lat:.6f}, {sol.lon:.6f} "
+                      f"(HDOP={sol.hdop:.1f}, {sol.n_satellites} sats, "
+                      f"{sol.n_measurements} meas)", file=sys.stderr)
+                if web is not None:
+                    web.set_position(sol.lat, sol.lon, sol.hdop)
 
     n_gsmtap = 0
     for f in pipe.run_file(args.file, args.format):

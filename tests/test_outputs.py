@@ -1,0 +1,166 @@
+"""Output subsystem tests: web map state/JSON/HTTP+SSE, MT position
+extraction, GSMTAP packet layout, SBD/ACARS decode chain."""
+
+import json
+import socket
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from iridium_tpu.decode.frame import IraData, IbcData
+from iridium_tpu.decode.sbd_acars import AcarsDecoder, crc16_kermit
+from iridium_tpu.output import gsmtap
+from iridium_tpu.output.web_map import WebMap, extract_mt_position, mtpos_xyz
+
+
+def ira(sat=5, beam=2, lat=47.0, lon=8.0, alt=780, pages=()):
+    return IraData(sat_id=sat, beam_id=beam, pos_xyz=(0, 0, 0),
+                   lat=lat, lon=lon, alt=alt, pages=list(pages))
+
+
+def test_web_map_state_routing():
+    wm = WebMap(port=0)
+    # orbital point
+    wm.add_ra(ira(alt=780), 1_000_000_000, 1.622e9)
+    # ground beam (alt < 100), twice -> dedup
+    wm.add_ra(ira(alt=0, lat=10.0, lon=20.0), 2_000_000_000, 1.622e9)
+    wm.add_ra(ira(alt=0, lat=10.0, lon=20.0), 3_000_000_000, 1.622e9)
+    # out-of-band altitude ignored
+    wm.add_ra(ira(alt=3000), 4_000_000_000, 1.622e9)
+    wm.add_sat(IbcData(bc_type=0, sat_id=7, beam_id=3), 5_000_000_000)
+    snap = wm.snapshot()
+    assert snap["total_ira"] == 3
+    assert len(snap["ra"]) == 1
+    assert len(snap["beams"]) == 1          # deduped
+    assert snap["total_beams"] == 2
+    assert snap["sats"] == [dict(id=7, beam=3, count=1)]
+
+
+def test_mtpos_extraction():
+    # 0x7605 layout: data[2]==0x00 marker, then 5 bytes at data[3] whose
+    # top nibble is the 0x4 marker and low 36 bits are the 12-bit XYZ
+    x, y, z = 900, 1100, 500
+    val = (0x4 << 36) | ((x & 0xFFF) << 24) | ((y & 0xFFF) << 12) | (z & 0xFFF)
+    b5 = val.to_bytes(5, "big")
+    msg = bytes([0x76, 0x05, 0x00]) + b5
+    assert (msg[3] & 0xF0) == 0x40
+    r = extract_mt_position(msg, "DL")
+    assert r is not None
+    msg_type, lat, lon, alt = r
+    assert msg_type == 0x7605
+    np.testing.assert_allclose(lat, np.degrees(np.arctan2(z, np.hypot(x, y))))
+
+
+def test_web_map_http_endpoints():
+    wm = WebMap(port=0, host="127.0.0.1")
+    wm.start()
+    port = wm._httpd.server_address[1]
+    try:
+        wm.add_ra(ira(), 1_000_000_000, 1.622e9)
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=5).read().decode()
+        assert "leaflet" in html.lower()
+        state = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/state", timeout=5).read())
+        assert state["total_ira"] == 1
+        assert state["ra"][0]["sat"] == 5
+        # SSE: read the first event
+        req = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/events", timeout=5)
+        line = req.readline().decode()
+        assert line.startswith("data: ")
+        evt = json.loads(line[6:])
+        assert evt["total_ira"] == 1
+        req.close()
+    finally:
+        wm.stop()
+
+
+def test_gsmtap_packet():
+    pkt = gsmtap.build_packet(b"ABCD", 1_622_090_000.0, "DL", 36)
+    assert len(pkt) == 16 + 4
+    assert pkt[0] == 2 and pkt[1] == 4 and pkt[2] == 2
+    arfcn = int.from_bytes(pkt[4:6], "big")
+    assert arfcn == int((1_622_090_000 - 1_616_000_000) / 41666.667)
+    ul = gsmtap.build_packet(b"ABCD", 1_622_090_000.0, "UL", 36)
+    assert int.from_bytes(ul[4:6], "big") & 0x4000
+
+
+def make_acars_sbd(text=b"HELLO WORLD", ul=False):
+    """Build an ACARS payload the fallback parser accepts (with parity
+    and Kermit CRC)."""
+    def odd_parity(b):
+        return bytes(c | 0x80 if bin(c).count("1") % 2 == 0 else c
+                     for c in b)
+
+    core = (b"2" + b".N1234A" + b"\x06" + b"H1" + b"1"
+            + b"\x02" + text + b"\x03")
+    core = odd_parity(core)
+    crc = crc16_kermit(core)
+    # append crc such that crc16(core+crc_bytes) == 0: kermit is reflected,
+    # appending little-endian residual works
+    msg = core + bytes([crc & 0xFF, (crc >> 8) & 0xFF]) + b"\x7f"
+    return b"\x01" + msg
+
+
+def test_acars_fallback_parse():
+    out = []
+    dec = AcarsDecoder(wall_t0=1_700_000_000.0)
+    dec._print_text = lambda m: out.append(m)
+    sbd = make_acars_sbd(b"TEST MESSAGE 123")
+    # wrap as single-packet SBD: 0x76 0x08 + prehdr(0x20: 5 bytes,
+    # msgcnt at [3]) + 0x10 len msgno + payload
+    pre = bytes([0x20, 0, 0, 1, 0])
+    inner = bytes([0x10, len(sbd), 1]) + sbd
+    ida_msg = bytes([0x76, 0x08]) + pre + inner
+    dec.process(ida_msg, 1_000_000_000, 1.6262e9, "DL", 30.0)
+    assert dec.stats["sbd_total"] == 1
+    assert dec.stats["sbd_single"] == 1
+    assert dec.stats["acars_total"] == 1
+    assert dec.stats["acars_errors"] == 0, dec.messages[-1]
+    m = dec.messages[-1]
+    assert m.mode == "2"
+    assert m.reg == ".N1234A"
+    assert m.label == "H1"
+    assert m.text == "TEST MESSAGE 123"
+    assert m.errors == 0
+
+
+def test_acars_multi_packet_reassembly():
+    dec = AcarsDecoder(wall_t0=1_700_000_000.0)
+    dec._print_text = lambda m: None
+    sbd = make_acars_sbd(b"LONG MESSAGE SPLIT IN TWO PARTS")
+    half = len(sbd) // 2
+    # First fragment arrives as type 0x08 (carries msgcnt, opens the
+    # slot); continuations use other DL types (0x09..0x0b) where msgcnt
+    # is unknown (-1) and msgno>1 appends (sbd_acars.c:1161-1216: the
+    # msgcnt>1 branch always (re)opens a slot, so only msgcnt==-1
+    # fragments can append)
+    pre = bytes([0x20, 0, 0, 2, 0])       # msgcnt=2
+    p1 = bytes([0x76, 0x08]) + pre + bytes([0x10, half, 1]) + sbd[:half]
+    p2 = (bytes([0x76, 0x09])
+          + bytes([0x10, len(sbd) - half, 2]) + sbd[half:])
+    dec.process(p1, 1_000_000_000, 1.6262e9, "DL", 30.0)
+    assert dec.stats["acars_total"] == 0
+    dec.process(p2, 1_500_000_000, 1.6262e9, "DL", 30.0)
+    assert dec.stats["sbd_multi_ok"] == 1
+    assert dec.stats["acars_total"] == 1
+    assert dec.messages[-1].text == "LONG MESSAGE SPLIT IN TWO PARTS"
+
+
+def test_acars_json_envelope():
+    lines = []
+    dec = AcarsDecoder(json_out=True, station="TEST1",
+                       wall_t0=1_700_000_000.0)
+    import io
+    dec.text_out = io.StringIO()
+    sbd = make_acars_sbd(b"JSONTEST")
+    pre = bytes([0x20, 0, 0, 1, 0])
+    ida_msg = bytes([0x76, 0x08]) + pre + bytes([0x10, len(sbd), 1]) + sbd
+    dec.process(ida_msg, 1_000_000_000, 1.6262e9, "DL", 30.0)
+    js = json.loads(dec.text_out.getvalue())
+    assert js["iridium"]["station"] == "TEST1"
+    assert js["iridium"]["acars"]["msg_text"] == "JSONTEST"
+    assert js["iridium"]["acars"]["label"] == "H1"
