@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output ACARS as JSON")
     p.add_argument("--acars-udp", action="append", default=[],
                    metavar="HOST:PORT", help="stream ACARS JSON via UDP")
+    p.add_argument("--feed", nargs="?",
+                   const="tcp://feed.airframes.io:5590",
+                   metavar="PROTO://HOST:PORT",
+                   help="feed aggregator (udp:// for acarshub, tcp:// "
+                        "for airframes.io)")
     p.add_argument("--station", default="IRIDIUM-TPU",
                    help="station identifier for ACARS JSON output")
     p.add_argument("--save-bursts", metavar="DIR",
@@ -90,7 +95,8 @@ def main(argv=None) -> int:
     )
     pipe = Pipeline(det_cfg=det, dm_cfg=DownmixConfig(),
                     burst_batch=args.burst_batch,
-                    use_gardner=not args.no_gardner)
+                    use_gardner=not args.no_gardner,
+                    save_bursts_dir=args.save_bursts)
     printer = RawPrinter(args.file_info)
 
     zmq_sock = None
@@ -124,11 +130,13 @@ def main(argv=None) -> int:
             height_aid_m=None if args.position < 0 else args.position)
 
     acars = None
-    if args.acars or args.acars_json or args.acars_udp:
-        from .decode.sbd_acars import AcarsDecoder
+    if args.acars or args.acars_json or args.acars_udp or args.feed:
+        from .decode.sbd_acars import AcarsDecoder, FeedSender
+        feed = FeedSender(args.feed) if args.feed else None
         acars = AcarsDecoder(json_out=args.acars_json,
                              udp_targets=args.acars_udp,
-                             station=args.station)
+                             station=args.station,
+                             feed_sender=feed)
 
     need_ida = (args.parsed or gsmtap is not None or acars is not None
                 or web is not None)

@@ -57,7 +57,7 @@ class DemodOut(NamedTuple):
     confidence: jax.Array    # (B,) i32 percent
     level: jax.Array         # (B,) f32 mean magnitude
     total_phase: jax.Array   # (B,) f32 summed PLL corrections (for CFO)
-    bits: jax.Array          # (B, 2*S) uint8
+    bits: jax.Array          # (B, 2*S) int32
     llr: jax.Array           # (B, 2*S) f32
 
 
@@ -107,8 +107,8 @@ def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
                    done)
             return new, (on, active)
 
-        init = (jnp.float32(0.0), jnp.float32(0.0),
-                jnp.complex64(0.0), jnp.zeros((), bool))
+        init = (np.float32(0.0), np.float32(0.0),
+                np.complex64(0.0), np.bool_(False))
         _, (syms, valid) = jax.lax.scan(body, init, iota_s)
         return syms, valid
 
@@ -124,7 +124,7 @@ def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
             sym, v = inp
             out = sym * phi
             re, im = out.real, out.imag
-            s = jnp.float32(SQRT1_2)
+            s = np.float32(SQRT1_2)
             xh = jnp.where(
                 (re >= 0) & (im >= 0), jax.lax.complex(s, s),
                 jnp.where(re >= 0, jax.lax.complex(s, -s),
@@ -143,7 +143,7 @@ def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
             return (jnp.where(upd, phi2, phi),
                     jnp.where(upd, total + sc, total)), out
 
-        init = (jnp.complex64(1.0), jnp.float32(0.0))
+        init = (np.complex64(1.0), np.float32(0.0))
         (_, total), out = jax.lax.scan(body, init, (syms, valid))
         return out, total
 
@@ -165,8 +165,8 @@ def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
         mags_m = jnp.where(valid, mags, -jnp.inf)
         cmax = jax.lax.associative_scan(jnp.maximum, mags_m)
         low = valid & (mags < cmax / MAGNITUDE_DROP)
-        low1 = jnp.concatenate([jnp.zeros(1, bool), low[:-1]])
-        low2 = jnp.concatenate([jnp.zeros(2, bool), low[:-2]])
+        low1 = jnp.concatenate([np.zeros(1, bool), low[:-1]])
+        low2 = jnp.concatenate([np.zeros(2, bool), low[:-2]])
         trip = low & low1 & low2
         any_trip = jnp.any(trip)
         first_trip = jnp.argmax(trip).astype(jnp.int32)
@@ -214,11 +214,19 @@ def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
                       jnp.where(dl_ok & ~ul_ok, DIR_DL, direction)))
 
         # --- DQPSK differential decode + bits ---
-        prev = jnp.concatenate([jnp.zeros(1, jnp.int32), hard[:-1]])
-        dec = jnp.asarray(dqpsk_map)[jnp.mod(hard - prev, 4)]
+        prev = jnp.concatenate([np.zeros(1, np.int32), hard[:-1]])
+        d4 = jnp.mod(hard - prev, 4)
+        # dqpsk_map {0:0,1:2,2:3,3:1} as a where-chain (no table
+        # gather: a constant-table gather would eager-allocate
+        # on device during tracing)
+        dec = jnp.where(d4 == 0, 0,
+                        jnp.where(d4 == 1, 2,
+                                  jnp.where(d4 == 2, 3, 1)))
         bits = jnp.stack([(dec >> 1) & 1, dec & 1], axis=-1).reshape(-1)
-        bmask = jnp.arange(2 * S) < 2 * actual
-        bits = jnp.where(bmask, bits, 0).astype(jnp.uint8)
+        bmask = np.arange(2 * S) < 2 * actual
+        # int32, not uint8: the axon backend can only transfer
+        # f32/i32 buffers to the host
+        bits = jnp.where(bmask, bits, 0).astype(jnp.int32)
 
         # --- LLR ---
         sum_mag = jnp.sum(jnp.where(amask, mags, 0.0))

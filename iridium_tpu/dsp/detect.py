@@ -144,7 +144,9 @@ def _coverage_delta(bins: jax.Array, weight: jax.Array, half_bw: int,
     a scatter of interval endpoints + cumsum (O(B + F), no (B, F) matrix)."""
     lo = jnp.clip(bins - half_bw, 0, n_bins - 1)
     hi = jnp.clip(bins + half_bw, 0, n_bins - 1)
-    diff = jnp.zeros((n_bins + 1,), jnp.int32)
+    # zero vector derived from a traced value: keeps tracing free of
+    # eager device allocations (the axon tunnel stalls on them)
+    diff = jnp.broadcast_to(weight[0] * 0, (n_bins + 1,))
     diff = diff.at[lo].add(weight)
     diff = diff.at[hi + 1].add(-weight)
     return jnp.cumsum(diff)[:-1]
@@ -173,11 +175,11 @@ def make_frame_step(p: DetectorParams, *,
     B = p.burst_capacity
     G = p.gone_capacity
     half_bw = p.burst_width_bins // 2
-    threshold = jnp.float32(p.threshold)
-    hist_f = jnp.float32(p.history_size)
-    enbw = jnp.float32(windows.BLACKMAN_ENBW)
-    bin_width = jnp.float32(p.sample_rate) / jnp.float32(F)
-    f2 = jnp.float32(F) * jnp.float32(F)
+    threshold = np.float32(p.threshold)
+    hist_f = np.float32(p.history_size)
+    enbw = np.float32(windows.BLACKMAN_ENBW)
+    bin_width = np.float32(p.sample_rate) / np.float32(F)
+    f2 = np.float32(F) * np.float32(F)
 
     # Peak-eligibility template in GLOBAL bin coordinates: edge + DC-notch
     # exclusion (burst_detect.c:529-552). bin_lo/own_lo/own_hi may be traced
@@ -221,7 +223,10 @@ def make_frame_step(p: DetectorParams, *,
         """Remove flagged active bursts; append the OWNED ones to the gone
         table ordered by id (reference emits in creation order:
         burst_detect.c:703-742)."""
-        emit = flags & jnp.asarray(owned_bin)[jnp.clip(s.a_bin, 0, FL - 1)]
+        if isinstance(owned_bin, np.ndarray) and owned_bin.all():
+            emit = flags                      # single chip: all bins owned
+        else:
+            emit = flags & owned_bin[jnp.clip(s.a_bin, 0, FL - 1)]
         key = jnp.where(emit, s.a_id, INT32_MAX)
         order = jnp.argsort(key)
         n_gone = jnp.sum(emit.astype(jnp.int32))
@@ -233,7 +238,7 @@ def make_frame_step(p: DetectorParams, *,
         def scat(tab, vals):
             return tab.at[dst].set(vals[src], mode="drop")
 
-        stop_vec = jnp.full((B,), 1, jnp.int32) * stop
+        stop_vec = jnp.broadcast_to(stop, (B,))
         return s._replace(
             g_id=scat(s.g_id, s.a_id),
             g_start=scat(s.g_start, s.a_start),
@@ -249,7 +254,9 @@ def make_frame_step(p: DetectorParams, *,
 
     def count_active(s: DetectorState):
         """Global active count: each burst counted once, by its owner."""
-        owned = jnp.asarray(owned_bin)[jnp.clip(s.a_bin, 0, FL - 1)]
+        if isinstance(owned_bin, np.ndarray) and owned_bin.all():
+            return global_sum(jnp.sum(s.a_valid.astype(jnp.int32)))
+        owned = owned_bin[jnp.clip(s.a_bin, 0, FL - 1)]
         return global_sum(jnp.sum((s.a_valid & owned).astype(jnp.int32)))
 
     def frame_step(s: DetectorState, xs):
@@ -336,7 +343,7 @@ def make_frame_step(p: DetectorParams, *,
             return (a_valid, a_id, a_start, a_last, a_bin, a_mag, a_noise,
                     mask_count, burst_id, created_frame, peak_db)
 
-        created_frame0 = jnp.zeros((B,), bool)
+        created_frame0 = s.a_valid & False
         (a_valid, a_id, a_start, a_last, a_bin, a_mag, a_noise,
          mask_count, burst_id, created_frame, peak_db) = jax.lax.fori_loop(
             0, p.max_new_per_frame, create_body,
@@ -356,8 +363,8 @@ def make_frame_step(p: DetectorParams, *,
             old = s.a_valid & ~created_frame
             s = append_gone(s, old, idx)
             return s._replace(
-                a_valid=jnp.zeros((B,), bool),
-                mask_count=jnp.zeros((FL,), jnp.int32),
+                a_valid=s.a_valid & False,
+                mask_count=s.mask_count * 0,
                 squelch_count=s.squelch_count + 3,
             )
 
@@ -408,7 +415,7 @@ def make_detect_block(p: DetectorParams, **shard_kw):
         n_frames = mag2.shape[0]
         # The reference processes frame k with d->index == k * fft_size
         # (index advanced after processing; feed loop burst_detect.c:821-835).
-        idxs = jnp.arange(n_frames, dtype=jnp.int32) * p.fft_size
+        idxs = np.arange(n_frames, dtype=np.int32) * p.fft_size
         active = (idxs + p.fft_size) <= n_valid
         state, _ = jax.lax.scan(gated_step, state, (mag2, idxs, active))
         return state
@@ -438,5 +445,5 @@ def rebase_state(state: DetectorState, block_samples: int) -> DetectorState:
     return state._replace(
         a_start=state.a_start - block_samples,
         a_last=state.a_last - block_samples,
-        g_count=jnp.zeros((), jnp.int32),
+        g_count=state.g_count * 0,
     )

@@ -310,7 +310,7 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
         # --- Step 8: phase align ---
         cmag = jnp.abs(corr_val)
         pc = jnp.where(cmag > 0, jnp.conj(corr_val / cmag),
-                       jnp.complex64(1.0))
+                       np.complex64(1.0))
         xa = xr * pc
 
         # --- Step 9: extract from uw_start ---
@@ -325,18 +325,18 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
               + fine_offset * dmp.output_sample_rate)
         simplex = cf > iridium.SIMPLEX_FREQUENCY_MIN
         max_len = jnp.where(simplex,
-                            jnp.int32(int(iridium.MAX_FRAME_LENGTH_SIMPLEX * sps)),
-                            jnp.int32(int(iridium.MAX_FRAME_LENGTH_NORMAL * sps)))
+                            np.int32(int(iridium.MAX_FRAME_LENGTH_SIMPLEX * sps)),
+                            np.int32(int(iridium.MAX_FRAME_LENGTH_NORMAL * sps)))
         min_len = jnp.where(simplex,
-                            jnp.int32(int(iridium.MIN_FRAME_LENGTH_SIMPLEX * sps)),
-                            jnp.int32(int(iridium.MIN_FRAME_LENGTH_NORMAL * sps)))
+                            np.int32(int(iridium.MIN_FRAME_LENGTH_SIMPLEX * sps)),
+                            np.int32(int(iridium.MIN_FRAME_LENGTH_NORMAL * sps)))
         available = frame_len - uw_start
         ok &= available >= min_len
         n_samples = jnp.minimum(available, max_len)
         out = jax.lax.dynamic_slice(
             jnp.pad(xa, (0, max_frame_cap)),
             (jnp.clip(uw_start, 0, dec_cap),), (max_frame_cap,))
-        out = jnp.where(jnp.arange(max_frame_cap) < n_samples, out, 0.0)
+        out = jnp.where(np.arange(max_frame_cap) < n_samples, out, 0.0)
 
         return DownmixOut(
             samples=out,

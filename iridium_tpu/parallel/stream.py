@@ -139,7 +139,7 @@ class ShardedPipeline:
                 p, axis_name=AXIS, bin_lo=bin_lo, n_bins=FL,
                 own_lo=me * own, own_hi=(me + 1) * own, id_stride=n)
             n_frames = frames_loc * n
-            idxs = jnp.arange(n_frames, dtype=jnp.int32) * F
+            idxs = np.arange(n_frames, dtype=np.int32) * F
             active = (idxs + F) <= n_valid
             state = detect.run_state_machine(mag_ext, idxs, active,
                                              state, frame_step)
@@ -149,8 +149,9 @@ class ShardedPipeline:
             # windows via ppermute chains instead)
             block = jax.lax.all_gather(samples_loc, AXIS, tiled=True)
             stream = jnp.concatenate(
-                [hist_tail, block, jnp.zeros((self.l_ext,), jnp.complex64)])
-            rows = jnp.arange(DB, dtype=jnp.int32)
+                [hist_tail, block,
+                 np.zeros((self.l_ext,), np.complex64)])
+            rows = np.arange(DB, dtype=np.int32)
             valid = rows < state.g_count
             start_cl = jnp.maximum(state.g_start[:DB], -hist_avail)
             ext_len = jnp.where(

@@ -27,6 +27,7 @@ region is inside the post-burst noise padding.
 from __future__ import annotations
 
 import dataclasses
+import sys
 import time
 from typing import Iterator
 
@@ -45,6 +46,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _retry(fn, attempts: int = 3, tag: str = ""):
+    """Re-issue a pure device call on transient backend faults.
+
+    The axon TPU tunnel in this environment sporadically returns
+    UNIMPLEMENTED / stalls on individual RPCs; every call here is a pure
+    function of its inputs, so retrying is safe."""
+    import jax
+
+    for k in range(attempts):
+        try:
+            return fn()
+        except jax.errors.JaxRuntimeError as e:   # pragma: no cover
+            if k == attempts - 1 or "UNIMPLEMENTED" not in str(e):
+                raise
+            print(f"warning: transient TPU fault in {tag}, retrying "
+                  f"({k + 1}/{attempts})", file=sys.stderr)
+            time.sleep(1.0 + k)
+    raise RuntimeError("unreachable")
+
+
 @dataclasses.dataclass
 class PipelineStats:
     """Counters matching the reference's stats line inputs (main.c:181-187)."""
@@ -61,7 +82,8 @@ class Pipeline:
                  dm_cfg: DownmixConfig | None = None,
                  burst_batch: int = 16,
                  use_gardner: bool = True,
-                 start_time_ns: int | None = None):
+                 start_time_ns: int | None = None,
+                 save_bursts_dir: str | None = None):
         det_cfg = det_cfg or DetectorConfig()
         dm_cfg = dm_cfg or DownmixConfig()
         self.p: DetectorParams = det_cfg.derived()
@@ -87,6 +109,7 @@ class Pipeline:
         self.base_index = 0          # absolute sample index of block start
         self.prev_tagged = 0
         self.stats = PipelineStats()
+        self.save_bursts_dir = save_bursts_dir
 
     def _build_burst_processor(self):
         p, dmp = self.p, self.dmp
@@ -103,8 +126,13 @@ class Pipeline:
             return dm, dd
 
         def process(stream, starts, ext_lens, bins):
-            return jax.vmap(one, in_axes=(None, 0, 0, 0))(
+            dm, dd = jax.vmap(one, in_axes=(None, 0, 0, 0))(
                 stream, starts, ext_lens, bins)
+            # host-fetched fields must be f32/i32 (the axon TPU tunnel
+            # cannot transfer bool/u8/c64 buffers device->host)
+            dm = dm._replace(ok=dm.ok.astype(jnp.int32))
+            dd = dd._replace(ok=dd.ok.astype(jnp.int32))
+            return dm, dd
 
         self.process_fn = jax.jit(process)
 
@@ -116,13 +144,16 @@ class Pipeline:
         assert len(samples) == p.block_samples
         if self.start_time_ns is None:
             self.start_time_ns = time.time_ns()
-        block = jnp.asarray(samples, jnp.complex64)
-        self.state = self.detect_fn(block, self.state, jnp.int32(n_valid))
+        block = _retry(lambda: jnp.asarray(samples, jnp.complex64),
+                       tag="upload")
+        self.state = _retry(
+            lambda: self.detect_fn(block, self.state, jnp.int32(n_valid)),
+            tag="detect")
         self.stats.n_samples += n_valid
 
         # Fetch the (tiny) gone-burst table
         s = self.state
-        g_count = int(s.g_count)
+        g_count = _retry(lambda: int(s.g_count), tag="g_count fetch")
         n_tagged = int(s.n_tagged)
         self.stats.n_dropped += (n_tagged - self.prev_tagged) - g_count
         self.prev_tagged = n_tagged
@@ -167,10 +198,15 @@ class Pipeline:
             starts[:m] = rel_start[sl]
             lens[:m] = ext_len[sl]
             bins[:m] = g["bin"][sl]
-            dm, dd = self.process_fn(stream, jnp.asarray(starts),
-                                     jnp.asarray(lens), jnp.asarray(bins))
-            dm_ok = np.asarray(dm.ok)
-            dd_ok = np.asarray(dd.ok)
+            dm, dd = _retry(
+                lambda: self.process_fn(stream, jnp.asarray(starts),
+                                        jnp.asarray(lens),
+                                        jnp.asarray(bins)),
+                tag="burst batch")
+            dm_ok = np.asarray(dm.ok).astype(bool)
+            dd_ok = np.asarray(dd.ok).astype(bool)
+            if self.save_bursts_dir:
+                self._save_bursts(dm, dd, g, i0, m)
             self.stats.n_handled += int(dm_ok[:m].sum())
             ok = dm_ok & dd_ok
             ok[m:] = False
@@ -216,11 +252,59 @@ class Pipeline:
             self.stats.n_ok += int(ok[:m].sum())
         return frames
 
+    def _save_bursts(self, dm, dd, g, i0, m) -> None:
+        """--save-bursts: per-burst cf32 + metadata dumps
+        (reference qpsk_demod.c:339-389)."""
+        import os
+        os.makedirs(self.save_bursts_dir, exist_ok=True)
+        p, dmp = self.p, self.dmp
+        # complex64 cannot be transferred by this backend: split on device
+        reim = np.asarray(jnp.stack([jnp.real(dm.samples),
+                                     jnp.imag(dm.samples)], axis=-1))
+        samples = reim.view(np.complex64)[..., 0]
+        n_samp = np.asarray(dm.n_samples)
+        dm_ok = np.asarray(dm.ok).astype(bool)
+        dd_ok = np.asarray(dd.ok).astype(bool)
+        direc = np.asarray(dd.direction)
+        sdec = np.asarray(dm.start_dec)
+        uw_corr = np.asarray(dm.uw_corr)
+        for j in range(m):
+            if not dm_ok[j]:
+                continue
+            gi = i0 + j
+            abs_start = max(int(g["start"][gi]) + self.base_index, 0)
+            ts = (self.start_time_ns
+                  + int(abs_start / p.sample_rate * 1e9)
+                  + (self.in_ntaps // 2) * 1_000_000_000 // p.sample_rate
+                  + int(int(sdec[j]) / dmp.output_sample_rate * 1e9))
+            k = int(g["bin"][gi]) - p.fft_size // 2
+            cf = p.center_frequency + k / p.fft_size * p.sample_rate
+            dir_str = ("DL" if int(direc[j]) == 0 else "UL") \
+                if dd_ok[j] else "UN"
+            base = os.path.join(
+                self.save_bursts_dir,
+                f"{ts:020d}_{cf:011.0f}_{int(g['id'][gi])}_{dir_str}")
+            n = int(n_samp[j])
+            samples[j, :n].astype(np.complex64).tofile(base + ".cf32")
+            with open(base + ".meta", "w") as f:
+                f.write(f"burst_id: {int(g['id'][gi])}\n"
+                        f"timestamp_ns: {ts}\n"
+                        f"center_freq_hz: {cf:.0f}\n"
+                        f"sample_rate_hz: {dmp.output_sample_rate}\n"
+                        f"samples_per_symbol: "
+                        f"{dmp.samples_per_symbol:.2f}\n"
+                        f"direction: {dir_str}\n"
+                        f"magnitude_db: {float(g['mag'][gi]):.2f}\n"
+                        f"noise_dbfs_hz: {float(g['noise'][gi]):.2f}\n"
+                        f"num_samples: {n}\n"
+                        f"uw_start_offset: {float(uw_corr[j]):.2f}\n")
+
     # ---- file driver ----
 
     def run_file(self, path: str, fmt: str | None = None) -> Iterator[dict]:
+        from ..io import native
         bs = self.p.block_samples
-        for block, n_valid in readers.read_blocks(path, bs, fmt):
+        for block, n_valid in native.read_blocks(path, bs, fmt):
             yield from self.process_block(block, n_valid)
 
     def run_array(self, samples: np.ndarray) -> Iterator[dict]:
