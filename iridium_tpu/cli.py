@@ -85,6 +85,19 @@ def main(argv=None) -> int:
               "ingest host; see documentation)", file=sys.stderr)
         return 2
 
+    # Persistent XLA compilation cache: the reference persists FFTW wisdom
+    # for the same reason (main.c:60-78) -- first-run planning/compiles are
+    # expensive
+    import os
+    import jax
+    cache_dir = os.environ.get("IRIDIUM_TPU_CACHE",
+                               os.path.expanduser("~/.iridium-tpu-xla-cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from .runtime.pipeline import Pipeline   # deferred: heavy import
 
     det = DetectorConfig(
@@ -174,6 +187,30 @@ def main(argv=None) -> int:
         srr = dsamp / (samp_rate * dt) * 100 if dt > 0 else 0
         in_ok = 100.0 * dk / dd if dd > 0 else 0
         ok_avg = 100.0 * s.n_ok / s.n_detected if s.n_detected else 0
+        if args.diagnostic:
+            # guided-setup display (reference main.c:444-481)
+            rt = int(elapsed)
+            bpm = s.n_detected * 60.0 / elapsed if elapsed > 0 else 0
+            nf = pipe.noise_floor_db()
+            pk = pipe.peak_signal_db()
+            line = (f"Runtime: {rt // 3600:02d}:{rt % 3600 // 60:02d}:"
+                    f"{rt % 60:02d}  |  Bursts: {s.n_detected} detected "
+                    f"({bpm:.1f}/min)  |  Decoded: {s.n_ok} "
+                    f"(ok_avg: {ok_avg:.0f}%)  |  Noise: {nf:.1f} dBFS/Hz"
+                    f"  |  Peak: {pk:.1f} dB  ")
+            if s.n_detected == 0 and elapsed > 120:
+                line += "| No bursts detected - check antenna"
+            elif ok_avg >= 70 and bpm >= 3:
+                line += f"| Setup looks good (gap: {pk - nf:.1f} dB)"
+            elif ok_avg < 70 and s.n_detected > 10:
+                line += "| Low decode rate - try adjusting gain"
+            elif ok_avg >= 70 and bpm < 3 and elapsed > 60:
+                line += "| Good decode rate but low burst count"
+            print(line, file=sys.stderr)
+            last_stat = now
+            prev = dict(det=s.n_detected, ok=s.n_ok, handled=s.n_handled,
+                        samples=s.n_samples)
+            return
         print(f"{int(now)} | srr: {srr:5.1f}%"
               f" | i_avg: {s.n_detected / elapsed:3.0f}/s"
               f" | q_max: {0:4d}"

@@ -252,11 +252,31 @@ class Pipeline:
             self.stats.n_ok += int(ok[:m].sum())
         return frames
 
+    def noise_floor_db(self) -> float:
+        """Average noise floor in dBFS/Hz (burst_detect.c:363-380)."""
+        p = self.p
+        avg = float(np.asarray(jnp.sum(self.state.baseline_sum))) \
+            / (p.fft_size * p.history_size)
+        bin_width = p.sample_rate / p.fft_size
+        if avg > 0 and bin_width > 0:
+            return 10.0 * np.log10(avg / bin_width)
+        return -120.0
+
+    def peak_signal_db(self) -> float:
+        return float(np.asarray(self.state.peak_signal_db))
+
     def _save_bursts(self, dm, dd, g, i0, m) -> None:
         """--save-bursts: per-burst cf32 + metadata dumps
         (reference qpsk_demod.c:339-389)."""
         import os
-        os.makedirs(self.save_bursts_dir, exist_ok=True)
+        try:
+            os.makedirs(self.save_bursts_dir, exist_ok=True)
+        except OSError as e:
+            # warn-and-continue like the reference (qpsk_demod.c:346-350)
+            print(f"Warning: failed to create burst save directory: {e}",
+                  file=sys.stderr)
+            self.save_bursts_dir = None
+            return
         p, dmp = self.p, self.dmp
         # complex64 cannot be transferred by this backend: split on device
         reim = np.asarray(jnp.stack([jnp.real(dm.samples),
