@@ -54,8 +54,8 @@ def read_blocks(path: str, block_samples: int,
                 fmt: str | None = None) -> Iterator[Tuple[np.ndarray, int]]:
     """Same contract as readers.read_blocks, backed by the native engine."""
     lib = _load()
-    fmt = fmt or readers.detect_format(path)
-    if lib is None:
+    fmt = (fmt or ("ci8" if path == "-" else readers.detect_format(path)))
+    if lib is None or path == "-":
         yield from readers.read_blocks(path, block_samples, fmt)
         return
     h = lib.hostio_open(path.encode(), _FMT[fmt], block_samples, 3)

@@ -52,34 +52,57 @@ _DTYPES = {"ci8": np.int8, "ci16": np.int16, "cf32": np.float32}
 _CONVERT = {"ci8": convert_ci8, "ci16": convert_ci16, "cf32": convert_cf32}
 
 
+def _read_stream(f, block_samples: int, dtype,
+                 conv) -> Iterator[Tuple[np.ndarray, int]]:
+    """Blockwise reader over a binary stream (file or pipe). Short reads
+    are retried until EOF so live pipes work (the reference's spewer
+    semantics, main.c:223-284)."""
+    itemsize = np.dtype(dtype).itemsize
+    want_bytes = block_samples * 2 * itemsize
+    while True:
+        buf = b""
+        while len(buf) < want_bytes:
+            chunk = f.read(want_bytes - len(buf))
+            if not chunk:
+                break
+            buf += chunk
+        if not buf:
+            return
+        raw = np.frombuffer(buf[:len(buf) - len(buf) % (2 * itemsize)],
+                            dtype=dtype)
+        n_valid = raw.size // 2
+        samples = conv(raw[: n_valid * 2])
+        if n_valid < block_samples:
+            padded = np.zeros(block_samples, dtype=np.complex64)
+            padded[:n_valid] = samples
+            samples = padded
+        yield samples, n_valid
+        if n_valid < block_samples:
+            return
+
+
 def read_blocks(path: str, block_samples: int,
                 fmt: str | None = None) -> Iterator[Tuple[np.ndarray, int]]:
     """Yield (block complex64 of exactly block_samples, n_valid).
 
+    `path` may be "-" for stdin (live pipe from an SDR tool, e.g.
+    `rx_sdr -f 1622e6 -s 10e6 - | iridium-tpu -f - --format ci16`).
     The final partial block is zero-padded; n_valid gives the true count.
     """
+    if path == "-":
+        fmt = fmt or "ci8"
+        if fmt not in FORMATS:
+            raise ValueError(f"unknown IQ format: {fmt}")
+        import sys
+        yield from _read_stream(sys.stdin.buffer, block_samples,
+                                _DTYPES[fmt], _CONVERT[fmt])
+        return
     fmt = fmt or detect_format(path)
     if fmt not in FORMATS:
         raise ValueError(f"unknown IQ format: {fmt}")
-    dtype = _DTYPES[fmt]
-    conv = _CONVERT[fmt]
-    items_per_sample = 2
-
     with open(path, "rb") as f:
-        while True:
-            raw = np.fromfile(f, dtype=dtype, count=block_samples * items_per_sample)
-            if raw.size == 0:
-                return
-            n_valid = raw.size // items_per_sample
-            raw = raw[: n_valid * items_per_sample]
-            samples = conv(raw)
-            if n_valid < block_samples:
-                padded = np.zeros(block_samples, dtype=np.complex64)
-                padded[:n_valid] = samples
-                samples = padded
-            yield samples, n_valid
-            if n_valid < block_samples:
-                return
+        yield from _read_stream(f, block_samples, _DTYPES[fmt],
+                                _CONVERT[fmt])
 
 
 def file_sample_count(path: str, fmt: str | None = None) -> int:
