@@ -203,20 +203,30 @@ def make_frame_step(p: DetectorParams, *,
         return jax.lax.psum(x, axis_name) if axis_name else x
 
     def update_baseline(s: DetectorState, mag: jax.Array, do: jax.Array):
-        """Conditional running-sum noise update (burst_detect.c:438-454)."""
-        old = s.baseline_hist[s.hist_idx]
-        new_sum = s.baseline_sum - old + mag
+        """Conditional running-sum noise update (burst_detect.c:438-454).
+
+        All conditionality is at ROW granularity (32 kB), never over the
+        whole (history_size, F) buffer: a full-history select per frame is
+        ~16 MB of HBM traffic x 512 frames. Rows older than the last
+        noise-estimate reset are masked out via `primed` instead of being
+        zeroed (they are always overwritten before `primed` flips back to
+        1, so masking the read is exactly equivalent to the reference's
+        memset, burst_detect.c:618-627)."""
+        old = s.baseline_hist[s.hist_idx] * s.primed.astype(jnp.float32)
+        new_sum = jnp.where(do, s.baseline_sum - old + mag, s.baseline_sum)
+        row = jnp.where(do, mag, s.baseline_hist[s.hist_idx])
         new_hist = jax.lax.dynamic_update_slice(
-            s.baseline_hist, mag[None, :], (s.hist_idx, 0))
+            s.baseline_hist, row[None, :], (s.hist_idx, 0))
         nxt = s.hist_idx + 1
-        wrapped = nxt == p.history_size
-        new_idx = jnp.where(wrapped, 0, nxt)
+        wrapped = do & (nxt == p.history_size)
+        new_idx = jnp.where(do, jnp.where(nxt == p.history_size, 0, nxt),
+                            s.hist_idx)
         new_primed = jnp.where(wrapped, 1, s.primed)
         return s._replace(
-            baseline_sum=jnp.where(do, new_sum, s.baseline_sum),
-            baseline_hist=jnp.where(do, new_hist, s.baseline_hist),
-            hist_idx=jnp.where(do, new_idx, s.hist_idx),
-            primed=jnp.where(do, new_primed, s.primed),
+            baseline_sum=new_sum,
+            baseline_hist=new_hist,
+            hist_idx=new_idx,
+            primed=new_primed,
         )
 
     def append_gone(s: DetectorState, flags: jax.Array, stop: jax.Array):
@@ -259,9 +269,13 @@ def make_frame_step(p: DetectorParams, *,
         owned = owned_bin[jnp.clip(s.a_bin, 0, FL - 1)]
         return global_sum(jnp.sum((s.a_valid & owned).astype(jnp.int32)))
 
-    def frame_step(s: DetectorState, xs):
-        mag, idx = xs          # mag: (FL,) f32; idx: i32 frame-start index
-        primed = s.primed > 0
+    def full_step(s: DetectorState, xs):
+        # mag: (FL,) f32; idx: i32 frame-start index; act: bool — frame is
+        # within the valid sample range (EOF gating, burst_detect.c:821).
+        # `act` is folded into every state write at field granularity; a
+        # whole-state select per frame would re-touch the 16 MB history.
+        mag, idx, act = xs
+        primed = (s.primed > 0) & act
 
         # relative magnitude (burst_detect.c:426-434, simd_generic.c:137-144:
         # bins with zero baseline get rel = 0, not inf)
@@ -288,9 +302,12 @@ def make_frame_step(p: DetectorParams, *,
         gone = s.a_valid & (((a_last + p.burst_post_len) <= idx) | long_burst)
         force_noise = global_sum(jnp.any(long_burst).astype(jnp.int32)) > 0
         force_noise = force_noise & primed
-        s_after = append_gone(s, gone & primed, idx)
-        s = DetectorState(*jax.tree.map(
-            lambda new, old: jnp.where(primed, new, old), tuple(s_after), tuple(s)))
+        flags = gone & primed
+        # append_gone(s, all-False) is the identity, so the whole emit path
+        # (incl. its argsort) is skipped on the common no-gone frame.
+        s = jax.lax.cond(jnp.any(flags),
+                         lambda s: append_gone(s, flags, idx),
+                         lambda s: s, s)
 
         # forced noise update inside delete_gone (burst_detect.c:516-517)
         s = update_baseline(s, mag, force_noise)
@@ -298,23 +315,30 @@ def make_frame_step(p: DetectorParams, *,
         # --- update_burst_mask: recompute from remaining actives ---
         new_mask_count = _coverage_delta(
             s.a_bin, s.a_valid.astype(jnp.int32), half_bw, FL)
-        s = s._replace(mask_count=jnp.where(primed, new_mask_count, s.mask_count))
+        s = s._replace(mask_count=jnp.where(primed, new_mask_count,
+                                            s.mask_count))
 
         # --- create_new_bursts: greedy argmax loop (burst_detect.c:556-632).
         # Equivalent to iterating the desc-sorted peak list and skipping
         # currently-masked bins: argmax over the masked vector picks the
-        # same sequence of peaks.
-        def create_body(k, val):
-            (a_valid, a_id, a_start, a_last, a_bin, a_mag, a_noise,
-             mask_count, burst_id, created_frame, peak_db) = val
+        # same sequence of peaks. Early-exits via while_loop: once a pick
+        # fails (below threshold, or no free slot) every later iteration
+        # would fail too — relm is fixed, the mask only grows and slots
+        # only fill — so most frames cost ONE argmax, not max_new_per_frame.
+        def create_cond(val):
+            k, cont = val[0], val[1]
+            return cont & (k < p.max_new_per_frame)
+
+        def create_body(val):
+            (k, _cont, a_valid, a_id, a_start, a_last, a_bin, a_mag,
+             a_noise, mask_count, burst_id, created_frame, peak_db) = val
             cand = relm * (mask_count == 0)
             pk = jnp.argmax(cand).astype(jnp.int32)
             pv = cand[pk]
-            ok = primed & (pv > threshold)
             # first free slot
             slot = jnp.argmin(a_valid.astype(jnp.int32)).astype(jnp.int32)
             have_slot = ~a_valid[slot]
-            ok = ok & have_slot
+            ok = primed & (pv > threshold) & have_slot
             mag_db = 10.0 * jnp.log10(jnp.maximum(pv * hist_f * enbw, 1e-30))
             noise_db = 10.0 * jnp.log10(jnp.maximum(
                 s.baseline_sum[pk] / hist_f / f2 / enbw / bin_width, 1e-30))
@@ -340,16 +364,16 @@ def make_frame_step(p: DetectorParams, *,
                 mask_count)
             burst_id = jnp.where(ok, burst_id + 10 * id_stride, burst_id)
             peak_db = jnp.where(ok, jnp.maximum(peak_db, mag_db), peak_db)
-            return (a_valid, a_id, a_start, a_last, a_bin, a_mag, a_noise,
-                    mask_count, burst_id, created_frame, peak_db)
+            return (k + 1, ok, a_valid, a_id, a_start, a_last, a_bin, a_mag,
+                    a_noise, mask_count, burst_id, created_frame, peak_db)
 
         created_frame0 = s.a_valid & False
-        (a_valid, a_id, a_start, a_last, a_bin, a_mag, a_noise,
-         mask_count, burst_id, created_frame, peak_db) = jax.lax.fori_loop(
-            0, p.max_new_per_frame, create_body,
-            (s.a_valid, s.a_id, s.a_start, s.a_last, s.a_bin, s.a_mag,
-             s.a_noise, s.mask_count, s.burst_id, created_frame0,
-             s.peak_signal_db))
+        (_, _, a_valid, a_id, a_start, a_last, a_bin, a_mag, a_noise,
+         mask_count, burst_id, created_frame, peak_db) = jax.lax.while_loop(
+            create_cond, create_body,
+            (jnp.int32(0), primed, s.a_valid, s.a_id, s.a_start, s.a_last,
+             s.a_bin, s.a_mag, s.a_noise, s.mask_count, s.burst_id,
+             created_frame0, s.peak_signal_db))
         s = s._replace(a_valid=a_valid, a_id=a_id, a_start=a_start,
                        a_last=a_last, a_bin=a_bin, a_mag=a_mag,
                        a_noise=a_noise, mask_count=mask_count,
@@ -370,14 +394,18 @@ def make_frame_step(p: DetectorParams, *,
 
         def no_squelch(s: DetectorState) -> DetectorState:
             return s._replace(
-                squelch_count=jnp.maximum(s.squelch_count - 1, 0))
+                squelch_count=jnp.where(
+                    act, jnp.maximum(s.squelch_count - 1, 0),
+                    s.squelch_count))
 
         s = jax.lax.cond(squelch, do_squelch, no_squelch, s)
 
-        # noise estimate reset after repeated squelch (burst_detect.c:618-627)
-        reset = s.squelch_count >= 10
+        # noise estimate reset after repeated squelch (burst_detect.c:618-627).
+        # The history buffer itself is NOT zeroed: stale rows are masked out
+        # of every read by `primed` (see update_baseline) until they have
+        # been overwritten, which is exactly when `primed` flips back to 1.
+        reset = act & (s.squelch_count >= 10)
         s = s._replace(
-            baseline_hist=jnp.where(reset, 0.0, s.baseline_hist),
             baseline_sum=jnp.where(reset, 0.0, s.baseline_sum),
             hist_idx=jnp.where(reset, 0, s.hist_idx),
             primed=jnp.where(reset, 0, s.primed),
@@ -386,7 +414,40 @@ def make_frame_step(p: DetectorParams, *,
 
         # --- final noise update if no active bursts (burst_detect.c:698) ---
         n_active = count_active(s)
-        s = update_baseline(s, mag, n_active == 0)
+        s = update_baseline(s, mag, act & (n_active == 0))
+        return s, None
+
+    eligible_f = (eligible_t.astype(np.float32)
+                  if isinstance(eligible_t, np.ndarray)
+                  else eligible_t.astype(jnp.float32))
+
+    def quiet_step(s: DetectorState, mag, act):
+        """Fast path for frames with no active bursts and no peaks above
+        threshold — the overwhelmingly common case. Exactly equivalent to
+        full_step then: no hits, no gone bursts, no creations, no squelch
+        (so squelch_count decays, burst_detect.c:629), and the final
+        unconditional-when-idle noise update (burst_detect.c:698)."""
+        s = s._replace(squelch_count=jnp.where(
+            act, jnp.maximum(s.squelch_count - 1, 0), s.squelch_count))
+        return update_baseline(s, mag, act)
+
+    def frame_step(s: DetectorState, xs):
+        # Gate the full burst machinery behind a per-frame branch. The
+        # gate is conservative-exact: with no active bursts the carried
+        # mask_count is all-zero (it is recomputed whenever a burst is
+        # deleted and zeroed by squelch), so rel*eligible equals the
+        # masked peak vector the full path would threshold.
+        mag, idx, act = xs
+        rel = jnp.where(s.baseline_sum > 0, mag / s.baseline_sum, 0.0)
+        cand = (jnp.max(rel * eligible_f) > threshold) & (s.primed > 0)
+        have = jnp.any(s.a_valid) | cand
+        if axis_name:
+            # all shards must take the same branch: full_step contains
+            # collectives (count_active / force_noise psums)
+            have = jax.lax.psum(have.astype(jnp.int32), axis_name) > 0
+        s = jax.lax.cond(have,
+                         lambda s: full_step(s, xs)[0],
+                         lambda s: quiet_step(s, mag, act), s)
         return s, None
 
     return frame_step
@@ -402,13 +463,6 @@ def make_detect_block(p: DetectorParams, **shard_kw):
     window = windows.blackman(p.fft_size) / np.float32(0.42)
     frame_step = make_frame_step(p, **shard_kw)
 
-    def gated_step(s: DetectorState, xs):
-        mag, idx, active = xs
-        s2, _ = frame_step(s, (mag, idx))
-        s = DetectorState(*jax.tree.map(
-            lambda a, b: jnp.where(active, a, b), tuple(s2), tuple(s)))
-        return s, None
-
     def detect(samples: jax.Array, state: DetectorState,
                n_valid: jax.Array) -> DetectorState:
         mag2 = spectrogram(samples, window, p.fft_size)
@@ -417,7 +471,7 @@ def make_detect_block(p: DetectorParams, **shard_kw):
         # (index advanced after processing; feed loop burst_detect.c:821-835).
         idxs = np.arange(n_frames, dtype=np.int32) * p.fft_size
         active = (idxs + p.fft_size) <= n_valid
-        state, _ = jax.lax.scan(gated_step, state, (mag2, idxs, active))
+        state, _ = jax.lax.scan(frame_step, state, (mag2, idxs, active))
         return state
 
     return detect
@@ -427,15 +481,7 @@ def run_state_machine(mag2: jax.Array, idxs: jax.Array, active: jax.Array,
                       state: DetectorState, frame_step) -> DetectorState:
     """Scan a prebuilt frame_step over per-frame magnitudes (used by the
     sharded path, where the spectrogram is computed separately)."""
-
-    def gated_step(s: DetectorState, xs):
-        mag, idx, act = xs
-        s2, _ = frame_step(s, (mag, idx))
-        s = DetectorState(*jax.tree.map(
-            lambda a, b: jnp.where(act, a, b), tuple(s2), tuple(s)))
-        return s, None
-
-    state, _ = jax.lax.scan(gated_step, state, (mag2, idxs, active))
+    state, _ = jax.lax.scan(frame_step, state, (mag2, idxs, active))
     return state
 
 

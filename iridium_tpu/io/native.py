@@ -70,10 +70,12 @@ def read_blocks(path: str, block_samples: int,
             if n == 0:
                 return
             arr = np.ctypeslib.as_array(buf, shape=(2 * block_samples,))
-            samples = arr.view(np.complex64)
-            # zero-copy view, valid only until the next iteration (the
-            # buffer is recycled on release; the pipeline's device upload
-            # copies it out immediately)
+            # Copy out of the engine's recycled buffer: the pipelined
+            # driver keeps blocks in flight past the next read, and the
+            # CPU jax backend aliases host memory on device_put, so a
+            # zero-copy view here is a use-after-release. One memcpy per
+            # block (~GB/s) is noise next to the upload itself.
+            samples = arr.reshape(block_samples, 2).copy()
             yield samples, int(n)
             lib.hostio_release(h)
             if n < block_samples:

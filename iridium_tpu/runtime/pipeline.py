@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import sys
+import threading
 import time
 from typing import Iterator
 
@@ -101,15 +102,64 @@ class Pipeline:
         self.use_gardner = use_gardner
         self.start_time_ns = start_time_ns
 
-        self.detect_fn = jax.jit(detect.make_detect_block(p))
+        self._build_step()
         self._build_burst_processor()
+        self._lock = threading.Lock()
+        self.reset()
+        self.start_time_ns = start_time_ns
+        self.save_bursts_dir = save_bursts_dir
 
-        self.state = detect.init_state(p)
-        self.tail = jnp.zeros((self.l_ext,), jnp.complex64)
+    def reset(self, start_time_ns: int | None = None) -> None:
+        """Fresh stream state; compiled executables are reused."""
+        self.state = detect.init_state(self.p)
+        self.tail = self._zeros_ext()
+        self._rebase = 0
         self.base_index = 0          # absolute sample index of block start
         self.prev_tagged = 0
         self.stats = PipelineStats()
-        self.save_bursts_dir = save_bursts_dir
+        self.start_time_ns = start_time_ns
+
+    def _build_step(self):
+        """One fused jitted dispatch per block.
+
+        The axon TPU tunnel rejects complex64 host<->device transfers and
+        eager c64 allocations (c64 buffers produced and consumed by jitted
+        programs are fine), and each dispatch/fetch RPC costs ~10 ms. So the
+        block boundary is crossed exactly twice: one upload of interleaved
+        f32 I/Q pairs (the cf32 wire format) + fused step dispatch, and one
+        download of the packed (G+1, 6) i32 gone-burst table. The complex
+        stream, rolling tail, and detector state stay device-resident.
+        """
+        p = self.p
+        detect_fn = detect.make_detect_block(p)
+        l_ext, bs = self.l_ext, p.block_samples
+
+        def bc_i32(v):
+            return jax.lax.bitcast_convert_type(v, jnp.int32)
+
+        def step(pairs, tail, state, n_valid, do_rebase):
+            # rebase the carried state (detect.rebase_state, fused in)
+            shift = do_rebase * bs
+            state = state._replace(
+                a_start=state.a_start - shift,
+                a_last=state.a_last - shift,
+                g_count=state.g_count * 0)
+            block = jax.lax.complex(pairs[:, 0], pairs[:, 1])
+            st = detect_fn(block, state, n_valid)
+            stream = jnp.concatenate(
+                [tail, block, jnp.zeros((l_ext,), jnp.complex64)])
+            new_tail = stream[bs:bs + l_ext]
+            z = jnp.zeros((), jnp.int32)
+            head = jnp.stack([st.g_count, st.n_tagged, z, z, z, z])
+            rows = jnp.stack(
+                [st.g_id, st.g_start, st.g_stop, st.g_bin,
+                 bc_i32(st.g_mag), bc_i32(st.g_noise)], axis=1)
+            packed = jnp.concatenate([head[None, :], rows], axis=0)
+            return st, stream, new_tail, packed
+
+        self.step_fn = jax.jit(step)
+        self._zeros_ext = jax.jit(
+            lambda: jnp.zeros((l_ext,), jnp.complex64))
 
     def _build_burst_processor(self):
         p, dmp = self.p, self.dmp
@@ -128,63 +178,122 @@ class Pipeline:
         def process(stream, starts, ext_lens, bins):
             dm, dd = jax.vmap(one, in_axes=(None, 0, 0, 0))(
                 stream, starts, ext_lens, bins)
-            # host-fetched fields must be f32/i32 (the axon TPU tunnel
-            # cannot transfer bool/u8/c64 buffers device->host)
+            # Pack everything the host needs into ONE f32 matrix so a burst
+            # batch costs a single download RPC (~40 ms fixed latency
+            # through the axon tunnel) instead of twelve. Integer fields
+            # ride as bitcast f32 columns. dm/dd are returned too for the
+            # (rare) save-bursts path; unfetched outputs cost nothing.
+            ints = jnp.stack(
+                [dm.ok.astype(jnp.int32), dd.ok.astype(jnp.int32),
+                 dd.n_symbols, dd.confidence, dd.direction,
+                 dm.start_dec, dm.n_samples], axis=1)
+            packed = jnp.concatenate(
+                [dd.bits.astype(jnp.float32), dd.llr,
+                 dm.fine_offset[:, None], dd.level[:, None],
+                 dd.total_phase[:, None], dm.uw_corr[:, None],
+                 jax.lax.bitcast_convert_type(ints, jnp.float32)], axis=1)
             dm = dm._replace(ok=dm.ok.astype(jnp.int32))
             dd = dd._replace(ok=dd.ok.astype(jnp.int32))
-            return dm, dd
+            return dm, dd, packed
 
         self.process_fn = jax.jit(process)
 
     # ---- block processing ----
+    #
+    # Two-phase, software-pipelined: _dispatch_step enqueues block k's
+    # fused device step and returns immediately with device handles;
+    # _finish_block then blocks on k's tiny packed table and runs the
+    # burst batches. The driver loop dispatches step k+1 BEFORE finishing
+    # block k, so the ~40 ms fetch RPC and all host-side formatting hide
+    # under device compute (the device queue never drains). This is the
+    # TPU-native analogue of the reference's detector/downmix/demod
+    # thread overlap (main.c:666-734).
 
-    def process_block(self, samples: np.ndarray, n_valid: int) -> list[dict]:
-        """Feed one block (padded to block_samples); returns demod frames."""
+    def _dispatch_step(self, samples, n_valid: int):
         p = self.p
-        assert len(samples) == p.block_samples
         if self.start_time_ns is None:
             self.start_time_ns = time.time_ns()
-        block = _retry(lambda: jnp.asarray(samples, jnp.complex64),
-                       tag="upload")
-        self.state = _retry(
-            lambda: self.detect_fn(block, self.state, jnp.int32(n_valid)),
-            tag="detect")
+        # Boundary format: interleaved f32 I/Q pairs (the cf32 wire
+        # format) — the axon TPU tunnel rejects complex64 transfers.
+        # Device-resident (block_samples, 2) f32 arrays pass through.
+        if isinstance(samples, np.ndarray) and samples.dtype != np.float32:
+            samples = np.ascontiguousarray(
+                samples, np.complex64).view(np.float32).reshape(-1, 2)
+        assert samples.shape == (p.block_samples, 2), samples.shape
+        prev_state, prev_tail, rebase = self.state, self.tail, self._rebase
+
+        def dispatch():
+            return self.step_fn(jnp.asarray(samples), prev_tail, prev_state,
+                                jnp.int32(n_valid), jnp.int32(rebase))
+
+        self.state, stream, self.tail, packed = _retry(dispatch, tag="step")
+        self._rebase = 1
         self.stats.n_samples += n_valid
-
-        # Fetch the (tiny) gone-burst table
-        s = self.state
-        g_count = _retry(lambda: int(s.g_count), tag="g_count fetch")
-        n_tagged = int(s.n_tagged)
-        self.stats.n_dropped += (n_tagged - self.prev_tagged) - g_count
-        self.prev_tagged = n_tagged
-        self.stats.n_detected += g_count
-
-        frames: list[dict] = []
-        if g_count > 0:
-            g = {k: np.asarray(getattr(s, "g_" + k)[:g_count])
-                 for k in ("id", "start", "stop", "bin", "mag", "noise")}
-            stream = jnp.concatenate(
-                [self.tail, block,
-                 jnp.zeros((self.l_ext,), jnp.complex64)])
-            frames = self._demod_bursts(stream, g)
-
-        # Roll state for the next block
-        self.tail = jnp.concatenate([self.tail, block])[-self.l_ext:]
-        self.state = detect.rebase_state(self.state, p.block_samples)
+        ctx = (stream, packed, self.base_index, dispatch)
         self.base_index += p.block_samples
-        return frames
+        return ctx
 
-    def _demod_bursts(self, stream, g) -> list[dict]:
+    def _finish_block(self, ctx) -> list[dict]:
+        stream, packed, base_index, redo = ctx
+        try:
+            pk = np.asarray(packed)
+        except jax.errors.JaxRuntimeError:   # pragma: no cover
+            # transient tunnel fault: re-issue the step from its inputs
+            _, stream, _, packed = _retry(redo, tag="step redo")
+            pk = np.asarray(packed)
+        g_count = int(pk[0, 0])
+        n_tagged = int(pk[0, 1])
+        with self._lock:
+            # order-independent accounting (finishes may run concurrently):
+            # n_tagged is monotonic; dropped = tagged - emitted-to-table
+            self.prev_tagged = max(self.prev_tagged, n_tagged)
+            self.stats.n_detected += g_count
+            self.stats.n_dropped = self.prev_tagged - self.stats.n_detected
+        if g_count <= 0:
+            return []
+        rows = pk[1:1 + g_count]
+        g = dict(id=rows[:, 0], start=rows[:, 1], stop=rows[:, 2],
+                 bin=rows[:, 3], mag=rows[:, 4].view(np.float32),
+                 noise=rows[:, 5].view(np.float32))
+        return self._demod_bursts(stream, g, base_index)
+
+    def process_block(self, samples, n_valid: int) -> list[dict]:
+        """Feed one block (padded to block_samples); returns demod frames."""
+        return self._finish_block(self._dispatch_step(samples, n_valid))
+
+    def run_blocks(self, blocks, depth: int = 3) -> Iterator[list[dict]]:
+        """Pipelined driver: `blocks` yields (samples, n_valid) tuples;
+        yields the demod-frame list per block, in order.
+
+        Step dispatches stay on the calling thread (the detector state
+        chains block to block); the fetch+burst-processing finishes run on
+        a small thread pool so their ~40 ms tunnel RPCs overlap each other
+        and the device compute. `depth` bounds in-flight blocks (device
+        memory: one stream buffer each)."""
+        import concurrent.futures as cf
+        from collections import deque
+
+        with cf.ThreadPoolExecutor(max_workers=depth) as pool:
+            fut = deque()
+            for samples, n_valid in blocks:
+                ctx = self._dispatch_step(samples, n_valid)
+                fut.append(pool.submit(self._finish_block, ctx))
+                while len(fut) > depth:
+                    yield fut.popleft().result()
+            while fut:
+                yield fut.popleft().result()
+
+    def _demod_bursts(self, stream, g, base_index: int) -> list[dict]:
         p, dmp = self.p, self.dmp
         F = p.fft_size
         n = len(g["id"])
         # Absolute sample indices & ring-buffer clamp at stream start
-        abs_start = g["start"].astype(np.int64) + self.base_index
+        abs_start = g["start"].astype(np.int64) + base_index
         abs_start_cl = np.maximum(abs_start, 0)
         ext_len = (g["stop"].astype(np.int64) + p.burst_pre_len
-                   + self.base_index - abs_start_cl)
+                   + base_index - abs_start_cl)
         ext_len = np.minimum(ext_len, self.l_ext).astype(np.int32)
-        rel_start = (abs_start_cl - self.base_index + self.l_ext
+        rel_start = (abs_start_cl - base_index + self.l_ext
                      ).astype(np.int32)
 
         frames = []
@@ -198,29 +307,34 @@ class Pipeline:
             starts[:m] = rel_start[sl]
             lens[:m] = ext_len[sl]
             bins[:m] = g["bin"][sl]
-            dm, dd = _retry(
-                lambda: self.process_fn(stream, jnp.asarray(starts),
-                                        jnp.asarray(lens),
-                                        jnp.asarray(bins)),
-                tag="burst batch")
-            dm_ok = np.asarray(dm.ok).astype(bool)
-            dd_ok = np.asarray(dd.ok).astype(bool)
+            def dispatch():
+                dm, dd, pf = self.process_fn(
+                    stream, jnp.asarray(starts), jnp.asarray(lens),
+                    jnp.asarray(bins))
+                return dm, dd, np.asarray(pf)
+
+            dm, dd, pf = _retry(dispatch, tag="burst batch")
+            pi = np.ascontiguousarray(pf[:, -7:]).view(np.int32)
+            dm_ok = pi[:, 0].astype(bool)
+            dd_ok = pi[:, 1].astype(bool)
             if self.save_bursts_dir:
                 self._save_bursts(dm, dd, g, i0, m)
-            self.stats.n_handled += int(dm_ok[:m].sum())
+            with self._lock:
+                self.stats.n_handled += int(dm_ok[:m].sum())
             ok = dm_ok & dd_ok
             ok[m:] = False
             if not ok.any():
                 continue
-            n_sym = np.asarray(dd.n_symbols)
-            conf = np.asarray(dd.confidence)
-            level = np.asarray(dd.level)
-            total = np.asarray(dd.total_phase, np.float64)
-            fine = np.asarray(dm.fine_offset, np.float64)
-            sdec = np.asarray(dm.start_dec, np.int64)
-            direc = np.asarray(dd.direction)
-            bits = np.asarray(dd.bits)
-            llr = np.asarray(dd.llr)
+            S2 = pf.shape[1] - 11
+            n_sym = pi[:, 2]
+            conf = pi[:, 3]
+            direc = pi[:, 4]
+            sdec = pi[:, 5].astype(np.int64)
+            bits = pf[:, :S2 // 2].astype(np.int32)
+            llr = pf[:, S2 // 2:S2]
+            fine = pf[:, S2].astype(np.float64)
+            level = pf[:, S2 + 1]
+            total = pf[:, S2 + 2].astype(np.float64)
             for j in np.nonzero(ok)[0]:
                 gi = i0 + j
                 k = int(g["bin"][gi]) - F // 2
@@ -249,7 +363,8 @@ class Pipeline:
                     bits=bits[j, :2 * ns],
                     llr=llr[j, :2 * ns],
                 ))
-            self.stats.n_ok += int(ok[:m].sum())
+            with self._lock:
+                self.stats.n_ok += int(ok[:m].sum())
         return frames
 
     def noise_floor_db(self) -> float:
@@ -324,16 +439,21 @@ class Pipeline:
     def run_file(self, path: str, fmt: str | None = None) -> Iterator[dict]:
         from ..io import native
         bs = self.p.block_samples
-        for block, n_valid in native.read_blocks(path, bs, fmt):
-            yield from self.process_block(block, n_valid)
+        for frames in self.run_blocks(native.read_blocks(path, bs, fmt)):
+            yield from frames
 
     def run_array(self, samples: np.ndarray) -> Iterator[dict]:
         bs = self.p.block_samples
-        n = len(samples)
-        for i0 in range(0, n, bs):
-            chunk = samples[i0:i0 + bs]
-            n_valid = len(chunk)
-            if n_valid < bs:
-                chunk = np.concatenate(
-                    [chunk, np.zeros(bs - n_valid, np.complex64)])
-            yield from self.process_block(chunk, n_valid)
+
+        def blocks():
+            n = len(samples)
+            for i0 in range(0, n, bs):
+                chunk = samples[i0:i0 + bs]
+                n_valid = len(chunk)
+                if n_valid < bs:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros(bs - n_valid, np.complex64)])
+                yield chunk, n_valid
+
+        for frames in self.run_blocks(blocks()):
+            yield from frames

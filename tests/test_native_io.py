@@ -24,7 +24,11 @@ def test_native_matches_python(tmp_path, fmt, dtype, scale):
     assert len(a) == len(b)
     for (x, nx), (y, ny) in zip(a, b):
         assert nx == ny
-        np.testing.assert_array_equal(x, y)
+        # native yields owned (block, 2) f32 I/Q pairs (the pipeline's
+        # upload format); python readers yield complex64
+        assert x.shape == (16_384, 2) and x.dtype == np.float32
+        np.testing.assert_array_equal(
+            x[:, 0] + 1j * x[:, 1], y.astype(np.complex64))
 
 
 def test_native_empty_file(tmp_path):
