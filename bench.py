@@ -54,8 +54,8 @@ def main():
     from iridium_tpu.runtime.pipeline import Pipeline
 
     rate = 10_000_000
-    det = DetectorConfig(sample_rate=rate, frames_per_block=512)
-    pipe = Pipeline(det_cfg=det, burst_batch=16,
+    det = DetectorConfig(sample_rate=rate, frames_per_block=2048)
+    pipe = Pipeline(det_cfg=det, burst_batch=32,
                     start_time_ns=1_700_000_000_000_000_000)
     bs = pipe.p.block_samples
     n_blocks = 8

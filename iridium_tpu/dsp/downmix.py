@@ -161,13 +161,18 @@ class DownmixOut(NamedTuple):
 
 
 def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
-                     l_ext: int, max_frame_cap: int):
+                     l_ext: int, max_frame_cap: int,
+                     dec_cap: int | None = None):
     """Build the single-burst downmix function (vmap over the batch dim).
 
     Args of the returned fn:
       x:        (l_ext,) complex64 — extracted burst window (zero-padded)
       ext_len:  i32 true number of valid samples in x
       center_bin: i32 detector FFT bin (fftshifted)
+
+    `dec_cap` caps the decimated-domain length; the default (from dmp)
+    covers the longest legal burst. Smaller window variants (the
+    pipeline's short-burst bucket) pass a proportionally smaller cap.
     """
     c = make_consts(dmp)
     F = det.fft_size
@@ -181,7 +186,9 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
     cfo_total = dmp.cfo_fft_total
     corr_n = dmp.corr_fft_size
     search_cap = dmp.sync_search_len
-    dec_cap = dmp.dec_cap
+    if dec_cap is None:
+        dec_cap = dmp.dec_cap
+    assert dec_cap >= max(cfo_n, search_cap, 128)
     # conv output length must cover dec_cap
     n_conv = (l_ext - in_ntaps) // decim + 1
     assert n_conv >= dec_cap, (n_conv, dec_cap)

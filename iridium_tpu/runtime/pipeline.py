@@ -162,15 +162,35 @@ class Pipeline:
             lambda: jnp.zeros((l_ext,), jnp.complex64))
 
     def _build_burst_processor(self):
+        """Two window-size buckets: the full window covers the longest
+        legal burst (~90 ms, reference iridium.h:49-52) but typical
+        Iridium bursts + pre/post padding fit in ~1/4 of it, and the
+        coarse-rotate + 801-tap decimating FIR cost is proportional to
+        the window. Bursts are routed by extraction length."""
         p, dmp = self.p, self.dmp
-        dm_one = downmix.make_downmix_one(p, dmp, self.l_ext,
-                                          dmp.max_frame_samples)
+        self.l_small = min(self.l_ext, _round_up(
+            p.burst_pre_len + p.burst_post_len + 120_000 + self.in_ntaps,
+            128))
+        self.process_fn = self._make_processor(self.l_ext, dmp.dec_cap)
+        if self.l_small < self.l_ext:
+            dec_cap_small = (self.l_small - self.in_ntaps) \
+                // dmp.decimation + 1
+            self.process_small = self._make_processor(
+                self.l_small, dec_cap_small)
+        else:
+            self.process_small = self.process_fn
+
+    def _make_processor(self, l_win: int, dec_cap: int):
+        p, dmp = self.p, self.dmp
+        dm_one = downmix.make_downmix_one(p, dmp, l_win,
+                                          dmp.max_frame_samples,
+                                          dec_cap=dec_cap)
         demod_one = demod_mod.make_demod(dmp.max_symbols,
                                          dmp.samples_per_symbol,
                                          self.use_gardner)
 
         def one(stream, start, ext_len, bin_):
-            x = jax.lax.dynamic_slice(stream, (start,), (self.l_ext,))
+            x = jax.lax.dynamic_slice(stream, (start,), (l_win,))
             dm = dm_one(x, ext_len, bin_)
             dd = demod_one(dm.samples, dm.n_samples, dm.direction)
             return dm, dd
@@ -196,7 +216,7 @@ class Pipeline:
             dd = dd._replace(ok=dd.ok.astype(jnp.int32))
             return dm, dd, packed
 
-        self.process_fn = jax.jit(process)
+        return jax.jit(process)
 
     # ---- block processing ----
     #
@@ -296,75 +316,98 @@ class Pipeline:
         rel_start = (abs_start_cl - base_index + self.l_ext
                      ).astype(np.int32)
 
+        # Bucket by extraction length: typical bursts go through the small
+        # window (≈4x less rotate+FIR work); only long bursts pay for the
+        # full 90 ms window. Frames are re-sorted by burst id afterwards,
+        # which is exactly the gone-table emission order.
+        small_sel = ext_len <= self.l_small
+        buckets = [(np.nonzero(small_sel)[0], self.process_small),
+                   (np.nonzero(~small_sel)[0], self.process_fn)]
+
         frames = []
         B = self.burst_batch
-        for i0 in range(0, n, B):
-            sl = slice(i0, min(i0 + B, n))
-            m = sl.stop - sl.start
-            starts = np.zeros(B, np.int32)
-            lens = np.zeros(B, np.int32)
-            bins = np.zeros(B, np.int32)
-            starts[:m] = rel_start[sl]
-            lens[:m] = ext_len[sl]
-            bins[:m] = g["bin"][sl]
-            def dispatch():
-                dm, dd, pf = self.process_fn(
-                    stream, jnp.asarray(starts), jnp.asarray(lens),
-                    jnp.asarray(bins))
-                return dm, dd, np.asarray(pf)
+        for idxs, proc in buckets:
+            for j0 in range(0, len(idxs), B):
+                sel = idxs[j0:j0 + B]
+                frames += self._demod_batch(
+                    stream, g, base_index, proc, sel,
+                    rel_start, ext_len, abs_start_cl)
+        frames.sort(key=lambda f: f["id"])
+        return frames
 
-            dm, dd, pf = _retry(dispatch, tag="burst batch")
-            pi = np.ascontiguousarray(pf[:, -7:]).view(np.int32)
-            dm_ok = pi[:, 0].astype(bool)
-            dd_ok = pi[:, 1].astype(bool)
-            if self.save_bursts_dir:
-                self._save_bursts(dm, dd, g, i0, m)
-            with self._lock:
-                self.stats.n_handled += int(dm_ok[:m].sum())
-            ok = dm_ok & dd_ok
-            ok[m:] = False
-            if not ok.any():
-                continue
-            S2 = pf.shape[1] - 11
-            n_sym = pi[:, 2]
-            conf = pi[:, 3]
-            direc = pi[:, 4]
-            sdec = pi[:, 5].astype(np.int64)
-            bits = pf[:, :S2 // 2].astype(np.int32)
-            llr = pf[:, S2 // 2:S2]
-            fine = pf[:, S2].astype(np.float64)
-            level = pf[:, S2 + 1]
-            total = pf[:, S2 + 2].astype(np.float64)
-            for j in np.nonzero(ok)[0]:
-                gi = i0 + j
-                k = int(g["bin"][gi]) - F // 2
-                cf = (p.center_frequency
-                      + k / F * p.sample_rate
-                      + fine[j] * dmp.output_sample_rate)
-                ns = int(n_sym[j])
-                if ns > 0:
-                    cf += total[j] / (ns / iridium.SYMBOLS_PER_SECOND) \
-                        / np.pi / 2.0
-                ts = (self.start_time_ns
-                      + int(int(abs_start_cl[gi]) / p.sample_rate * 1e9)
-                      + (self.in_ntaps // 2) * 1_000_000_000
-                      // p.sample_rate
-                      + int(int(sdec[j]) / dmp.output_sample_rate * 1e9))
-                frames.append(dict(
-                    id=int(g["id"][gi]),
-                    timestamp_ns=ts,
-                    frequency=cf,
-                    magnitude=float(g["mag"][gi]),
-                    noise=float(g["noise"][gi]),
-                    confidence=int(conf[j]),
-                    level=float(level[j]),
-                    n_symbols=ns,
-                    direction="UL" if int(direc[j]) else "DL",
-                    bits=bits[j, :2 * ns],
-                    llr=llr[j, :2 * ns],
-                ))
-            with self._lock:
-                self.stats.n_ok += int(ok[:m].sum())
+    def _demod_batch(self, stream, g, base_index, proc, sel,
+                     rel_start, ext_len, abs_start_cl) -> list[dict]:
+        p, dmp = self.p, self.dmp
+        F = p.fft_size
+        B = self.burst_batch
+        m = len(sel)
+        starts = np.zeros(B, np.int32)
+        lens = np.zeros(B, np.int32)
+        bins = np.zeros(B, np.int32)
+        starts[:m] = rel_start[sel]
+        lens[:m] = ext_len[sel]
+        bins[:m] = g["bin"][sel]
+
+        def dispatch():
+            dm, dd, pf = proc(
+                stream, jnp.asarray(starts), jnp.asarray(lens),
+                jnp.asarray(bins))
+            return dm, dd, np.asarray(pf)
+
+        dm, dd, pf = _retry(dispatch, tag="burst batch")
+        m = len(sel)
+        pi = np.ascontiguousarray(pf[:, -7:]).view(np.int32)
+        dm_ok = pi[:, 0].astype(bool)
+        dd_ok = pi[:, 1].astype(bool)
+        if self.save_bursts_dir:
+            self._save_bursts(dm, dd, g, sel, base_index)
+        with self._lock:
+            self.stats.n_handled += int(dm_ok[:m].sum())
+        ok = dm_ok & dd_ok
+        ok[m:] = False
+        if not ok.any():
+            return []
+        S2 = pf.shape[1] - 11
+        n_sym = pi[:, 2]
+        conf = pi[:, 3]
+        direc = pi[:, 4]
+        sdec = pi[:, 5].astype(np.int64)
+        bits = pf[:, :S2 // 2].astype(np.int32)
+        llr = pf[:, S2 // 2:S2]
+        fine = pf[:, S2].astype(np.float64)
+        level = pf[:, S2 + 1]
+        total = pf[:, S2 + 2].astype(np.float64)
+        frames = []
+        for j in np.nonzero(ok)[0]:
+            gi = int(sel[j])
+            k = int(g["bin"][gi]) - F // 2
+            cf = (p.center_frequency
+                  + k / F * p.sample_rate
+                  + fine[j] * dmp.output_sample_rate)
+            ns = int(n_sym[j])
+            if ns > 0:
+                cf += total[j] / (ns / iridium.SYMBOLS_PER_SECOND) \
+                    / np.pi / 2.0
+            ts = (self.start_time_ns
+                  + int(int(abs_start_cl[gi]) / p.sample_rate * 1e9)
+                  + (self.in_ntaps // 2) * 1_000_000_000
+                  // p.sample_rate
+                  + int(int(sdec[j]) / dmp.output_sample_rate * 1e9))
+            frames.append(dict(
+                id=int(g["id"][gi]),
+                timestamp_ns=ts,
+                frequency=cf,
+                magnitude=float(g["mag"][gi]),
+                noise=float(g["noise"][gi]),
+                confidence=int(conf[j]),
+                level=float(level[j]),
+                n_symbols=ns,
+                direction="UL" if int(direc[j]) else "DL",
+                bits=bits[j, :2 * ns],
+                llr=llr[j, :2 * ns],
+            ))
+        with self._lock:
+            self.stats.n_ok += int(ok[:m].sum())
         return frames
 
     def noise_floor_db(self) -> float:
@@ -380,7 +423,7 @@ class Pipeline:
     def peak_signal_db(self) -> float:
         return float(np.asarray(self.state.peak_signal_db))
 
-    def _save_bursts(self, dm, dd, g, i0, m) -> None:
+    def _save_bursts(self, dm, dd, g, sel, base_index) -> None:
         """--save-bursts: per-burst cf32 + metadata dumps
         (reference qpsk_demod.c:339-389)."""
         import os
@@ -403,11 +446,11 @@ class Pipeline:
         direc = np.asarray(dd.direction)
         sdec = np.asarray(dm.start_dec)
         uw_corr = np.asarray(dm.uw_corr)
-        for j in range(m):
+        for j in range(len(sel)):
             if not dm_ok[j]:
                 continue
-            gi = i0 + j
-            abs_start = max(int(g["start"][gi]) + self.base_index, 0)
+            gi = int(sel[j])
+            abs_start = max(int(g["start"][gi]) + base_index, 0)
             ts = (self.start_time_ns
                   + int(abs_start / p.sample_rate * 1e9)
                   + (self.in_ntaps // 2) * 1_000_000_000 // p.sample_rate
