@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="burst detection threshold in dB (default: 16.0)")
     p.add_argument("--file-info", default=None,
                    help="file info string for output (default: auto)")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="use the XLA verification path instead of Pallas "
+                        "kernels (cf. reference --no-simd/--no-gpu)")
     p.add_argument("--no-gardner", action="store_true",
                    help="disable Gardner timing recovery")
     p.add_argument("--parsed", action="store_true",
@@ -109,7 +112,8 @@ def main(argv=None) -> int:
     pipe = Pipeline(det_cfg=det, dm_cfg=DownmixConfig(),
                     burst_batch=args.burst_batch,
                     use_gardner=not args.no_gardner,
-                    save_bursts_dir=args.save_bursts)
+                    save_bursts_dir=args.save_bursts,
+                    use_pallas=False if args.no_pallas else None)
     printer = RawPrinter(args.file_info)
 
     zmq_sock = None

@@ -162,7 +162,9 @@ class DownmixOut(NamedTuple):
 
 def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
                      l_ext: int, max_frame_cap: int,
-                     dec_cap: int | None = None):
+                     dec_cap: int | None = None,
+                     use_pallas: bool = False,
+                     pallas_interpret: bool = False):
     """Build the single-burst downmix function (vmap over the batch dim).
 
     Args of the returned fn:
@@ -173,6 +175,12 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
     `dec_cap` caps the decimated-domain length; the default (from dmp)
     covers the longest legal burst. Smaller window variants (the
     pipeline's short-burst bucket) pass a proportionally smaller cap.
+
+    `use_pallas` fuses the coarse rotate + decimating FIR into the
+    Pallas VMEM kernel (ops/pallas_fir.py) — same exact integer phase,
+    the rotated full-rate signal never round-trips HBM. The XLA path is
+    kept as the verification reference (the analogue of the reference's
+    --no-simd/--no-gpu switches, ARCHITECTURE.md:638).
     """
     c = make_consts(dmp)
     F = det.fft_size
@@ -213,17 +221,29 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
     dl_pre_off = int(iridium.PREAMBLE_LENGTH_SHORT * sps)
     ul_pre_off = int(32 * sps)
 
+    rot_dec = None
+    if use_pallas:
+        from ..ops import pallas_fir
+        rot_dec = pallas_fir.make_rotate_decimate(
+            l_ext, dec_cap, decim, input_taps, F,
+            interpret=pallas_interpret)
+
     def downmix_one(x, ext_len, center_bin):
         ok = ext_len >= 100
-
-        # --- Step 1: coarse CFO rotate (exact integer phase) ---
         k = center_bin - F // 2
-        m = jnp.mod(k * nm_ext, F)
-        ang = (-2.0 * np.pi / F) * m.astype(jnp.float32)
-        x = x * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
 
-        # --- Step 2: decimate (valid, strided) ---
-        dec_full = _fir_valid_c(x, input_taps, stride=decim)[:dec_cap]
+        if rot_dec is not None:
+            # --- Steps 1+2 fused: Pallas rotate+decimate kernel ---
+            o_re, o_im = rot_dec(x.real, x.imag, k)
+            dec_full = jax.lax.complex(o_re, o_im)
+        else:
+            # --- Step 1: coarse CFO rotate (exact integer phase) ---
+            m = jnp.mod(k * nm_ext, F)
+            ang = (-2.0 * np.pi / F) * m.astype(jnp.float32)
+            x = x * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+
+            # --- Step 2: decimate (valid, strided) ---
+            dec_full = _fir_valid_c(x, input_taps, stride=decim)[:dec_cap]
         dec_len = jnp.clip((ext_len - in_ntaps + 1) // decim, 0, dec_cap)
         ok &= dec_len >= 100
         dec_full = jnp.where(iota_dec < dec_len, dec_full, 0.0)

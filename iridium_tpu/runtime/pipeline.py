@@ -84,9 +84,15 @@ class Pipeline:
                  burst_batch: int = 16,
                  use_gardner: bool = True,
                  start_time_ns: int | None = None,
-                 save_bursts_dir: str | None = None):
+                 save_bursts_dir: str | None = None,
+                 use_pallas: bool | None = None):
         det_cfg = det_cfg or DetectorConfig()
         dm_cfg = dm_cfg or DownmixConfig()
+        if use_pallas is None:
+            # Pallas kernels compile only on real TPU; the XLA path is the
+            # CPU/verification reference (cf. --no-simd, ARCHITECTURE.md:638)
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
         self.p: DetectorParams = det_cfg.derived()
         self.dmp: DownmixParams = dm_cfg.derived(self.p)
         p, dmp = self.p, self.dmp
@@ -184,7 +190,8 @@ class Pipeline:
         p, dmp = self.p, self.dmp
         dm_one = downmix.make_downmix_one(p, dmp, l_win,
                                           dmp.max_frame_samples,
-                                          dec_cap=dec_cap)
+                                          dec_cap=dec_cap,
+                                          use_pallas=self.use_pallas)
         demod_one = demod_mod.make_demod(dmp.max_symbols,
                                          dmp.samples_per_symbol,
                                          self.use_gardner)
