@@ -228,22 +228,17 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
             l_ext, dec_cap, decim, input_taps, F,
             interpret=pallas_interpret)
 
-    def downmix_one(x, ext_len, center_bin):
+    def rotate_decimate_xla(x, k):
+        """Steps 1+2 (XLA path): exact integer-phase coarse CFO rotate +
+        valid strided decimating FIR (burst_downmix.c:663-679)."""
+        m = jnp.mod(k * nm_ext, F)
+        ang = (-2.0 * np.pi / F) * m.astype(jnp.float32)
+        x = x * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+        return _fir_valid_c(x, input_taps, stride=decim)[:dec_cap]
+
+    def downmix_from_dec(dec_full, ext_len, center_bin):
         ok = ext_len >= 100
         k = center_bin - F // 2
-
-        if rot_dec is not None:
-            # --- Steps 1+2 fused: Pallas rotate+decimate kernel ---
-            o_re, o_im = rot_dec(x.real, x.imag, k)
-            dec_full = jax.lax.complex(o_re, o_im)
-        else:
-            # --- Step 1: coarse CFO rotate (exact integer phase) ---
-            m = jnp.mod(k * nm_ext, F)
-            ang = (-2.0 * np.pi / F) * m.astype(jnp.float32)
-            x = x * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
-
-            # --- Step 2: decimate (valid, strided) ---
-            dec_full = _fir_valid_c(x, input_taps, stride=decim)[:dec_cap]
         dec_len = jnp.clip((ext_len - in_ntaps + 1) // decim, 0, dec_cap)
         ok &= dec_len >= 100
         dec_full = jnp.where(iota_dec < dec_len, dec_full, 0.0)
@@ -375,4 +370,24 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
             uw_corr=uw_corr,
         )
 
+    def downmix_one(x, ext_len, center_bin):
+        dec_full = rotate_decimate_xla(x, center_bin - F // 2)
+        return downmix_from_dec(dec_full, ext_len, center_bin)
+
+    def downmix_batch(stream, starts, ext_lens, bins):
+        """Batched entry: gathers each burst's window from the device-
+        resident stream, runs the fused Pallas rotate+decimate over the
+        whole batch (batch-native grid; a vmapped pallas_call would break
+        Mosaic's block-mapping rules), then vmaps the rest of the chain."""
+        xs = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(stream, (s,), (l_ext,)))(starts)
+        ks = bins - F // 2
+        if rot_dec is not None:
+            o_re, o_im = rot_dec(xs.real, xs.imag, ks)
+            dec_full = jax.lax.complex(o_re, o_im)
+        else:
+            dec_full = jax.vmap(rotate_decimate_xla)(xs, ks)
+        return jax.vmap(downmix_from_dec)(dec_full, ext_lens, bins)
+
+    downmix_one.batch = downmix_batch
     return downmix_one

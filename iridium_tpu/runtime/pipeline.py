@@ -196,15 +196,9 @@ class Pipeline:
                                          dmp.samples_per_symbol,
                                          self.use_gardner)
 
-        def one(stream, start, ext_len, bin_):
-            x = jax.lax.dynamic_slice(stream, (start,), (l_win,))
-            dm = dm_one(x, ext_len, bin_)
-            dd = demod_one(dm.samples, dm.n_samples, dm.direction)
-            return dm, dd
-
         def process(stream, starts, ext_lens, bins):
-            dm, dd = jax.vmap(one, in_axes=(None, 0, 0, 0))(
-                stream, starts, ext_lens, bins)
+            dm = dm_one.batch(stream, starts, ext_lens, bins)
+            dd = jax.vmap(demod_one)(dm.samples, dm.n_samples, dm.direction)
             # Pack everything the host needs into ONE f32 matrix so a burst
             # batch costs a single download RPC (~40 ms fixed latency
             # through the axon tunnel) instead of twelve. Integer fields

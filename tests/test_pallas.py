@@ -47,6 +47,29 @@ def test_pallas_rotate_decimate_matches_xla():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+def test_pallas_rotate_decimate_batched():
+    rng = np.random.default_rng(2)
+    fft_size = 1024
+    decim = 40
+    dec_cap = 640
+    l_ext = dec_cap * decim + 801 + 128
+    taps = filters.lpf_taps(1.0, 10_000_000.0, 100_000.0, 50_000.0)
+    B = 3
+    x = (rng.standard_normal((B, l_ext))
+         + 1j * rng.standard_normal((B, l_ext))).astype(np.complex64)
+    ks = np.array([137, -64, 0], np.int32)
+    want = np.stack([
+        xla_rotate_decimate(x[b], int(ks[b]), taps.astype(np.float64),
+                            fft_size, decim, dec_cap) for b in range(B)])
+    rot_dec = pallas_fir.make_rotate_decimate(
+        l_ext, dec_cap, decim, taps, fft_size, tile=128, interpret=True)
+    o_re, o_im = jax.jit(rot_dec)(
+        jnp.asarray(x.real), jnp.asarray(x.imag), jnp.asarray(ks))
+    got = np.asarray(o_re) + 1j * np.asarray(o_im)
+    assert got.shape == (B, dec_cap)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_pallas_rotate_decimate_zero_k():
     rng = np.random.default_rng(1)
     decim = 4
@@ -58,7 +81,7 @@ def test_pallas_rotate_decimate_zero_k():
     want = xla_rotate_decimate(x, 0, taps.astype(np.float64), 256,
                                decim, dec_cap)
     rot_dec = pallas_fir.make_rotate_decimate(
-        l_ext, dec_cap, decim, taps, 256, tile=64, interpret=True)
+        l_ext, dec_cap, decim, taps, 256, tile=128, interpret=True)
     o_re, o_im = rot_dec(jnp.asarray(x.real), jnp.asarray(x.imag),
                          np.int32(0))
     got = np.asarray(o_re) + 1j * np.asarray(o_im)
