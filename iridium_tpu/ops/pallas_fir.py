@@ -117,12 +117,12 @@ def make_rotate_decimate(l_ext: int, dec_cap: int, decim: int,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # k (B,)
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # taps matrix
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((B * out_len // 128, 128), jnp.float32),
