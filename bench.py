@@ -1,13 +1,25 @@
 #!/usr/bin/env python
-"""End-to-end pipeline benchmark: realtime factor on a 10 MHz capture.
+"""End-to-end pipeline benchmark: realtime factor on a 10 MHz capture at
+REALISTIC burst density (250-400 detected bursts/s, the range the reference
+sees on live 10 MHz captures, ARCHITECTURE.md:345-349,417-425).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference's AVX2-only offline run decodes a 60 s / 10 MHz
-cf32 capture at 5.0x realtime on an i7-11800H (README.md:220,
-BASELINE.md). vs_baseline = our realtime factor / 5.0.
+cf32 capture at 5.0x realtime on an i7-11800H (README.md:220, BASELINE.md).
+vs_baseline = our realtime factor / 5.0.
+
+Crash-proofing: the measurement runs in a CHILD process; the parent retries
+with backoff on any failure (the axon TPU tunnel can crash the worker
+mid-run, which poisons the whole process — a restart is the only reliable
+recovery). Within the child, the pipeline itself retries transient RPC
+faults and salvages single-block losses (runtime/pipeline.py:_retry,
+run_blocks.take).
 """
 
+import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -18,63 +30,108 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_capture(n_blocks, block_samples, rate):
+def make_capture(n_blocks, block_samples, rate, burst_rate, seed=0):
+    """Noise floor + Poisson-arrival bursts, mixed DL/UL, varied SNR and
+    payload length, random carrier offsets across the 10 MHz band.
+
+    burst_rate is the INJECTED bursts/s; the detector's wider net tags
+    each ~2-4x (adjacent-bin duplicates, same as the reference's 5468
+    detections for ~3666 true bursts, README.md:189-197), so ~100/s
+    injected lands in the reference's live 250-400 detections/s regime.
+    """
+    from scipy.signal import resample_poly
+
+    from iridium_tpu import iridium
     from iridium_tpu.io import synth
 
+    rng = np.random.default_rng(seed)
     total = n_blocks * block_samples
-    rng = np.random.default_rng(0)
+    noise_floor = 0.01
     cap = np.empty(total, np.complex64)
-    # noise in chunks to bound peak memory
     step = 1 << 22
     for i in range(0, total, step):
         m = min(step, total - i)
         cap[i:i + m] = ((rng.standard_normal(m) + 1j * rng.standard_normal(m))
-                        .astype(np.complex64) * np.float32(0.01 / np.sqrt(2)))
-    # scatter bursts (after the 512-frame priming period)
-    prime = 520 * 8192
-    pos = prime
+                        .astype(np.complex64)
+                        * np.float32(noise_floor / np.sqrt(2)))
+
+    # Pool of distinct burst waveforms at full rate (reused across
+    # placements; each placement applies its own carrier offset).
+    sps_full = rate // (25_000)          # samples/symbol at full rate
+    ramp = 0.5 - 0.5 * np.cos(
+        np.pi * np.arange(4 * sps_full) / (4 * sps_full))
+    pool = []
+    for i in range(24):
+        direction = "UL" if rng.random() < 0.35 else "DL"
+        nbits = int(rng.choice([120, 200, 300, 348]))
+        bits = rng.integers(0, 2, nbits).astype(np.uint8)
+        bb = synth.modulate(synth.burst_symbols(bits, direction))
+        x = resample_poly(bb, up=rate // 250_000, down=1).astype(np.complex64)
+        x[:len(ramp)] *= ramp.astype(np.float32)
+        x[-len(ramp):] *= ramp[::-1].astype(np.float32)
+        pool.append(x)
+    max_len = max(len(x) for x in pool)
+
+    # Poisson arrivals after the detector's 512-frame noise priming
+    prime = (iridium.DEFAULT_HISTORY_SIZE + 16) * 8192
+    t = float(prime)
     k = 0
-    while pos < total - 300_000:
-        bits = rng.integers(0, 2, 300).astype(np.uint8)
-        burst = synth.make_capture(
-            bits, sample_rate=rate,
-            freq_offset_hz=float(rng.uniform(-4e6, 4e6)),
-            snr_db=25.0, burst_start_sample=0,
-            total_samples=260_000, noise_floor=0.0001, seed=k)
-        cap[pos:pos + len(burst)] += burst * 100.0  # rescale into main floor
-        pos += int(rate * 0.08)
+    while True:
+        t += rng.exponential(rate / burst_rate)
+        pos = int(t)
+        if pos + max_len >= total:
+            break
+        x = pool[int(rng.integers(len(pool)))]
+        f = float(rng.uniform(-4.3e6, 4.3e6))
+        snr_db = float(rng.uniform(14.0, 35.0))
+        amp = np.float32(noise_floor * 10.0 ** (snr_db / 20.0))
+        n = np.arange(len(x), dtype=np.float64)
+        cap[pos:pos + len(x)] += (
+            amp * x * np.exp(2j * np.pi * f / rate * n)).astype(np.complex64)
         k += 1
     return cap, k
 
 
-def main():
+def run_child(args) -> None:
     import jax
     import jax.numpy as jnp
+
     from iridium_tpu.config import DetectorConfig
     from iridium_tpu.runtime.pipeline import Pipeline
 
     rate = 10_000_000
-    det = DetectorConfig(sample_rate=rate, frames_per_block=2048)
-    pipe = Pipeline(det_cfg=det, burst_batch=32,
+    det = DetectorConfig(sample_rate=rate, frames_per_block=2048,
+                         gone_capacity=2048)
+    pipe = Pipeline(det_cfg=det, burst_batch=args.burst_batch,
                     start_time_ns=1_700_000_000_000_000_000)
     bs = pipe.p.block_samples
-    n_blocks = 8
     log(f"devices: {jax.devices()}")
-    cap, n_bursts = make_capture(n_blocks, bs, rate)
-    log(f"capture: {len(cap)/rate:.2f} s, {n_bursts} bursts injected")
+    t0 = time.perf_counter()
+    cap, n_inj = make_capture(args.blocks, bs, rate, args.burst_rate)
+    log(f"capture: {len(cap)/rate:.2f} s, {n_inj} bursts injected "
+        f"({n_inj/(len(cap)/rate):.0f}/s) [built in "
+        f"{time.perf_counter()-t0:.1f} s]")
 
-    # warmup/compile on the first two blocks (detect + burst processing)
+    # Warmup: compile the detect step + small-bucket burst processor on the
+    # first two real blocks, and force-compile the full-bucket processor
+    # with a dummy dispatch so no compilation lands inside the timed run.
     frames = list(pipe.run_array(cap[:2 * bs]))
+    zs = jax.jit(lambda: jnp.zeros((2 * pipe.l_ext + bs,), jnp.complex64))()
+    B = pipe.burst_batch
+    _, _, pf = pipe.process_fn(
+        zs, jnp.asarray(np.full(B, pipe.l_ext, np.int32)),
+        jnp.asarray(np.full(B, pipe.l_ext, np.int32)),
+        jnp.asarray(np.full(B, pipe.p.fft_size // 2 + 64, np.int32)))
+    np.asarray(pf)
     log(f"warmup done, {len(frames)} frames")
 
     # Pre-stage the capture in HBM (untimed). The dev-environment TPU is
     # behind an RPC tunnel with ~60 MB/s host->device bandwidth — an
     # artifact of the tunnel, not the platform (TPU VM hosts feed HBM at
-    # PCIe/DMA rates, and the reference baseline likewise reads the
-    # capture from page cache at memcpy speed). The timed region measures
-    # the pipeline itself: detect scan + burst downmix/demod + all
+    # PCIe/DMA rates, and the reference baseline likewise reads the capture
+    # from page cache at memcpy speed). The timed region measures the
+    # pipeline itself: detect scan + burst downmix/demod + all
     # device<->host control traffic, software-pipelined.
-    import jax.numpy as jnp
     blocks = []
     for i0 in range(0, len(cap), bs):
         pairs = cap[i0:i0 + bs].view(np.float32).reshape(-1, 2)
@@ -82,23 +139,85 @@ def main():
     jax.block_until_ready([b for b, _ in blocks])
     log(f"staged {len(blocks)} blocks in HBM")
 
+    prof_dir = os.environ.get("IRIDIUM_PROFILE_DIR")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
+
     # timed run with fresh stream state (compiled executables are reused —
     # steady-state throughput, like the reference's wisdom-warm FFTW runs)
     pipe.reset(start_time_ns=1_700_000_000_000_000_000)
     t0 = time.perf_counter()
     frames = [f for fl in pipe.run_blocks(iter(blocks)) for f in fl]
     dt = time.perf_counter() - t0
+    if prof_dir:
+        jax.profiler.stop_trace()
     secs = len(cap) / rate
     rtf = secs / dt
-    log(f"processed {secs:.2f} s in {dt:.2f} s -> {rtf:.1f}x realtime; "
-        f"{len(frames)} RAW frames, stats={pipe.stats}")
+    st = pipe.stats
+    ok_pct = 100.0 * st.n_ok / max(st.n_handled, 1)
+    log(f"processed {secs:.2f} s in {dt:.2f} s -> {rtf:.1f}x realtime")
+    log(f"quality: {st.n_detected/secs:.0f} detected bursts/s, "
+        f"{len(frames)} RAW frames ({len(frames)/secs:.0f}/s), "
+        f"ok={ok_pct:.0f}%, dropped={st.n_dropped}, faults={st.n_faults}")
+    log(f"timing: {dict(pipe.timing)}")
+    if st.n_faults > args.blocks // 4:
+        raise RuntimeError(f"too many faulted blocks ({st.n_faults})")
 
     print(json.dumps({
-        "metric": "realtime_factor_10MHz",
+        "metric": "realtime_factor_10MHz_300bps",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 5.0, 2),
-    }))
+    }), flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--blocks", type=int, default=8)
+    ap.add_argument("--burst-rate", type=float, default=100.0,
+                    help="injected bursts/s (detections ~3x this)")
+    ap.add_argument("--burst-batch", type=int, default=32)
+    ap.add_argument("--attempts", type=int, default=4)
+    args = ap.parse_args()
+
+    if args.child:
+        run_child(args)
+        return
+
+    # Parent: retry the whole measurement in a fresh process on failure.
+    for attempt in range(args.attempts):
+        extra = []
+        if attempt >= 2:   # lighten the load for late attempts
+            extra = ["--blocks", str(max(4, args.blocks // 2))]
+        cmd = [sys.executable, os.path.abspath(__file__), "--child",
+               "--blocks", str(args.blocks),
+               "--burst-rate", str(args.burst_rate),
+               "--burst-batch", str(args.burst_batch)] + extra
+        log(f"bench attempt {attempt + 1}/{args.attempts}: {' '.join(cmd)}")
+        try:
+            res = subprocess.run(cmd, stdout=subprocess.PIPE, timeout=2400)
+        except subprocess.TimeoutExpired:
+            log("bench attempt timed out")
+            res = None
+        if res is not None and res.returncode == 0:
+            for line in res.stdout.decode().splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    print(line, flush=True)
+                    return
+            log("child exited 0 but produced no JSON line")
+        elif res is not None:
+            log(f"child failed rc={res.returncode}")
+        if attempt < args.attempts - 1:
+            log("waiting 60 s for the TPU tunnel to recover...")
+            time.sleep(60)
+    log("all bench attempts failed")
+    sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -18,7 +18,7 @@ import math
 
 import numpy as np
 
-from . import bch
+from . import bch, gf2
 
 ACCESS_DL = np.array([0, 0, 1, 1, 0, 0, 0, 0, 0, 0, 1, 1,
                       0, 0, 0, 0, 1, 1, 1, 1, 0, 0, 1, 1], np.uint8)
@@ -32,25 +32,16 @@ def de_interleave(x):
     """64 values -> (32, 32): odd symbols reversed, even symbols reversed
     (net permutation after the cancelled pair-swaps,
     frame_decode.c:156-176)."""
-    out1 = []
-    out2 = []
-    for s in range(31, 0, -2):
-        out1 += [x[2 * s], x[2 * s + 1]]
-    for s in range(30, -1, -2):
-        out2 += [x[2 * s], x[2 * s + 1]]
-    return out1, out2
+    x = np.asarray(x)
+    i1, i2 = gf2.deint2_idx(32)
+    return x[i1], x[i2]
 
 
 def de_interleave3(x):
     """96 values -> 3 x 32 via reverse stride-3 (frame_decode.c:178-199):
     symbols [47,44,...,2] / [46,43,...,1] / [45,42,...,0]."""
-    outs = []
-    for start in (47, 46, 45):
-        o = []
-        for s in range(start, -1, -3):
-            o += [x[2 * s], x[2 * s + 1]]
-        outs.append(o)
-    return outs[0], outs[1], outs[2]
+    x = np.asarray(x)
+    return x[gf2.DEINT3_IDX[0]], x[gf2.DEINT3_IDX[1]], x[gf2.DEINT3_IDX[2]]
 
 
 def _extract_uint(bits, n):
@@ -80,6 +71,20 @@ def _chase_ra(block32, llr32):
     if not _check_parity32(block32, data, check):
         return None
     return data
+
+
+def _chase_ra_batch(blocks32: np.ndarray, llrs32: np.ndarray | None):
+    """Batched _chase_ra over K 32-bit blocks: Chase BCH(31,21) + the
+    parity-32 gate (frame_decode.c:224-295, 399-407).
+
+    blocks32: (K, 32) bits; llrs32: (K, 32) f32 or None.
+    -> (data (K,) uint32 21-bit values, ok (K,) bool)."""
+    v = gf2.pack_bits(blocks32[:, :31])
+    l31 = None if llrs32 is None else np.asarray(llrs32, np.float32)[:, :31]
+    cv, ce, _ = gf2.TBL_RA.chase(v, l31)
+    ones = gf2.popcount32(cv) + blocks32[:, 31].astype(np.int32)
+    ok = (ce >= 0) & (ones % 2 == 0)
+    return cv >> 10, ok
 
 
 @dataclasses.dataclass
@@ -165,56 +170,69 @@ def frame_decode(frame: dict):
     dllr = None if llr is None else np.asarray(llr)[24:]
     n = len(data)
 
+    # All candidate 32-bit blocks of a frame are Chase-decoded in ONE
+    # batched call (decoding past the reference's early-exit point is
+    # harmless — surplus results are discarded by the same walk order).
+    i1, i2 = gf2.deint2_idx(32)
+
+    def gather_groups(offs: list[int], src):
+        """De-interleave each 64-value group at `offs` -> (2*len, 32)."""
+        g = np.stack([src[o:o + 64] for o in offs])
+        return np.stack([g[:, i1], g[:, i2]], axis=1).reshape(-1, 32)
+
     # ---- IBC ----
     if n >= 6 + 64:
         hdr = bch.bits_to_uint(data[:6])
         v, e = bch.TBL_HDR.correct(hdr)
         if e >= 0:
-            di1, di2 = de_interleave(data[6:6 + 64])
-            li = de_interleave(dllr[6:6 + 64]) if dllr is not None else (None, None)
-            d1 = _chase_ra(di1, li[0])
-            d2 = _chase_ra(di2, li[1])
-            if d1 is not None and d2 is not None:
+            # group offsets exactly as the reference loop would visit them
+            # (off += 64 while off+64 <= min(262, n) and stream+42 <= 256)
+            ibc_max = min(262, n)
+            offs = [6]
+            off, slen = 6 + 64, 42
+            while off + 64 <= ibc_max and slen + 42 <= 256:
+                offs.append(off)
+                off += 64
+                slen += 42
+            blocks = gather_groups(offs, data)
+            lls = None if dllr is None else gather_groups(offs, dllr)
+            d, ok = _chase_ra_batch(blocks, lls)
+            if ok[0] and ok[1]:
                 bc_type = (v >> 4) & 0x7
-                stream = list(d1) + list(d2)
-                ibc_max = min(262, n)
-                off = 6 + 64
-                while off + 64 <= ibc_max and len(stream) + 42 <= 256:
-                    di1, di2 = de_interleave(data[off:off + 64])
-                    li = (de_interleave(dllr[off:off + 64])
-                          if dllr is not None and off + 64 <= n
-                          else (None, None))
-                    a = _chase_ra(di1, li[0])
-                    b = _chase_ra(di2, li[1])
-                    if a is None or b is None:
-                        break
-                    stream += list(a) + list(b)
-                    off += 64
+                n_grp = 1
+                while n_grp < len(offs) and ok[2 * n_grp] and ok[2 * n_grp + 1]:
+                    n_grp += 1
+                stream = gf2.unpack_bits(d[:2 * n_grp], BCH_RA_DATA).ravel()
                 return "IBC", _parse_ibc(stream, bc_type)
 
     # ---- IRA ----
     if n >= 96:
-        ra1, ra2, ra3 = de_interleave3(data[:96])
-        if dllr is not None:
-            la1, la2, la3 = de_interleave3(dllr[:96])
+        first3 = np.stack([data[gf2.DEINT3_IDX[0]], data[gf2.DEINT3_IDX[1]],
+                           data[gf2.DEINT3_IDX[2]]])
+        offs = []
+        off, slen = 96, 63
+        while off + 64 <= n and slen + 42 <= 512:
+            offs.append(off)
+            off += 64
+            slen += 42
+        if offs:
+            blocks = np.concatenate([first3, gather_groups(offs, data)])
         else:
-            la1 = la2 = la3 = None
-        d1 = _chase_ra(ra1, la1)
-        d2 = _chase_ra(ra2, la2)
-        d3 = _chase_ra(ra3, la3)
-        if d1 is not None and d2 is not None and d3 is not None:
-            stream = list(d1) + list(d2) + list(d3)
-            off = 96
-            while off + 64 <= n and len(stream) + 42 <= 512:
-                di1, di2 = de_interleave(data[off:off + 64])
-                li = (de_interleave(dllr[off:off + 64])
-                      if dllr is not None else (None, None))
-                a = _chase_ra(di1, li[0])
-                b = _chase_ra(di2, li[1])
-                if a is None or b is None:
-                    break
-                stream += list(a) + list(b)
-                off += 64
+            blocks = first3
+        if dllr is None:
+            lls = None
+        else:
+            lfirst3 = np.stack([dllr[gf2.DEINT3_IDX[0]],
+                                dllr[gf2.DEINT3_IDX[1]],
+                                dllr[gf2.DEINT3_IDX[2]]])
+            lls = (np.concatenate([lfirst3, gather_groups(offs, dllr)])
+                   if offs else lfirst3)
+        d, ok = _chase_ra_batch(blocks, lls)
+        if ok[0] and ok[1] and ok[2]:
+            n_blk = 3
+            while (n_blk + 2 <= len(d) and ok[n_blk] and ok[n_blk + 1]):
+                n_blk += 2
+            stream = gf2.unpack_bits(d[:n_blk], BCH_RA_DATA).ravel()
             return "IRA", _parse_ira(stream)
 
     return None

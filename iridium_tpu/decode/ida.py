@@ -21,13 +21,17 @@ import dataclasses
 
 import numpy as np
 
-from . import bch
+from . import bch, gf2
 
 LCW_PERM = [40, 39, 36, 35, 32, 31, 28, 27, 24, 23,
             20, 19, 16, 15, 12, 11, 8, 7, 4, 3,
             41, 38, 37, 34, 33, 30, 29, 26, 25, 22,
             21, 18, 17, 14, 13, 10, 9, 6, 5, 2,
             1, 46, 45, 44, 43, 42]
+
+# pair-swap then permute, fused into one gather (ida_decode.c:193-253)
+_LCW_IDX = np.array([p - 1 for p in LCW_PERM], np.int32)
+_LCW_IDX = (_LCW_IDX ^ 1)  # pair swap: index i reads source bit i^1
 
 BCH_DA_SYN = 11
 BCH_DA_DATA = 20
@@ -48,29 +52,25 @@ def decode_lcw(data) -> Lcw | None:
     """ida_decode.c:193-253: pair-swap, permute, 3-component BCH."""
     if len(data) < 46:
         return None
-    swapped = [0] * 46
-    for i in range(0, 46, 2):
-        swapped[i] = int(data[i + 1])
-        swapped[i + 1] = int(data[i])
-    lcw_bits = [swapped[LCW_PERM[i] - 1] for i in range(46)]
+    lcw_bits = np.asarray(data[:46], np.uint8)[_LCW_IDX]
 
-    v1 = bch.bits_to_uint(lcw_bits[:7])
-    s1 = bch.gf2_remainder(29, v1)
+    v1 = int(gf2.pack_bits(lcw_bits[:7]))
+    s1 = int(gf2.TBL_LCW1.syndrome(np.uint32(v1)))
     if s1 != 0:
         if s1 >= 16 or bch.TBL_LCW1.errs[s1] < 0:
             return None
         v1 ^= int(bch.TBL_LCW1.locator[s1])
     ft = (v1 >> 4) & 0x7
 
-    v2 = bch.bits_to_uint(lcw_bits[7:20]) << 1
-    s2 = bch.gf2_remainder(465, v2)
+    v2 = int(gf2.pack_bits(lcw_bits[7:20])) << 1
+    s2 = int(gf2.TBL_LCW2.syndrome(np.uint32(v2)))
     if s2 != 0:
         if s2 >= 256 or bch.TBL_LCW2.errs[s2] < 0:
             return None
         v2 ^= int(bch.TBL_LCW2.locator[s2])
 
-    v3 = bch.bits_to_uint(lcw_bits[20:46])
-    s3 = bch.gf2_remainder(41, v3)
+    v3 = int(gf2.pack_bits(lcw_bits[20:46]))
+    s3 = int(gf2.TBL_LCW3.syndrome(np.uint32(v3)))
     if s3 != 0:
         if s3 >= 32 or bch.TBL_LCW3.errs[s3] < 0:
             return None
@@ -96,70 +96,100 @@ def de_interleave_n(x, n_sym):
     return out1, out2
 
 
+_CHUNK_ORDER = np.array([3, 1, 2, 0], np.int32)
+
+
 def descramble_payload(data, llr, max_bch=512):
-    """ida_decode.c:276-377 -> (bch_stream list, fixederrs)."""
-    bch_stream: list[int] = []
-    fixederrs = 0
+    """ida_decode.c:276-377 -> (bch_stream bit array, fixederrs).
+
+    All 31-bit chunks of every full 124-bit block are Chase-decoded in one
+    batched call; the reference's early-exit (return at the first failed
+    chunk) and stream-length cap (skip chunks once len+20 > max_bch, keep
+    going) are applied to the results in the identical scan order."""
+    data = np.asarray(data, np.uint8)
     data_len = len(data)
     n_full = data_len // 124
     remain = data_len % 124
-    order = [3, 1, 2, 0]
 
-    for blk in range(n_full):
-        block = data[blk * 124:(blk + 1) * 124]
-        bllr = None if llr is None else llr[blk * 124:(blk + 1) * 124]
-        h1, h2 = de_interleave_n(block, 62)
-        combined = list(h1) + list(h2)
-        if bllr is not None:
-            l1, l2 = de_interleave_n(bllr, 62)
-            lcombined = list(l1) + list(l2)
-        for c in range(4):
-            if len(bch_stream) + BCH_DA_DATA > max_bch:
-                break
-            off = order[c] * 31
-            cl = None if bllr is None else lcombined[off:off + 31]
-            out, _, errs, fixed = bch.chase_decode(
-                combined[off:off + 31], cl, bch.TBL_DA,
-                BCH_DA_SYN, BCH_DA_DATA)
-            if errs < 0:
-                return bch_stream, fixederrs
-            fixederrs += fixed
-            bch_stream += list(out)
+    stream_vals: list = []          # corrected 20-bit chunk values, in order
+    fixederrs = 0
+    failed_early = False
 
-    if remain >= 4 and len(bch_stream) + 2 * (remain // 2 - 1) <= max_bch:
+    if n_full:
+        blocks = data[:n_full * 124].reshape(n_full, 124)
+        i1, i2 = gf2.deint2_idx(62)
+        comb = np.concatenate([blocks[:, i1], blocks[:, i2]], axis=1)
+        chunks = comb.reshape(n_full, 4, 31)[:, _CHUNK_ORDER, :].reshape(-1, 31)
+        if llr is None:
+            lch = None
+        else:
+            lb = np.asarray(llr[:n_full * 124], np.float32).reshape(n_full, 124)
+            lcomb = np.concatenate([lb[:, i1], lb[:, i2]], axis=1)
+            lch = lcomb.reshape(n_full, 4, 31)[:, _CHUNK_ORDER, :].reshape(-1, 31)
+        cv, ce, cf = gf2.TBL_DA.chase(gf2.pack_bits(chunks), lch)
+        n_ch = len(cv)
+        # chunk k is attempted iff 20*k + 20 <= max_bch (the cap `break`
+        # skips it but continues; a failure among ATTEMPTED chunks returns)
+        k_cap = min(n_ch, max(0, (max_bch - BCH_DA_DATA) // BCH_DA_DATA + 1))
+        fails = np.nonzero(ce[:k_cap] < 0)[0]
+        k_end = int(fails[0]) if len(fails) else k_cap
+        failed_early = len(fails) > 0
+        stream_vals.extend(cv[:k_end] >> BCH_DA_SYN)
+        fixederrs += int(cf[:k_end].sum())
+        if failed_early:
+            return _vals_to_bits(stream_vals), fixederrs
+
+    slen = BCH_DA_DATA * len(stream_vals)
+    if remain >= 4 and slen + 2 * (remain // 2 - 1) <= max_bch:
         n_sym_last = remain // 2
         tail = data[n_full * 124:]
-        h1, h2 = de_interleave_n(tail, n_sym_last)
-        if llr is not None:
-            lt = llr[n_full * 124:]
-            lh1, lh2 = de_interleave_n(lt, n_sym_last)
-        half_len = n_sym_last
-        if half_len > 1 and len(bch_stream) + BCH_DA_DATA <= max_bch:
-            combined = list(h2[1:half_len]) + list(h1[1:half_len])
-            lcombined = (list(lh2[1:half_len]) + list(lh1[1:half_len])
-                         if llr is not None else None)
-            pos = 0
-            while (pos + 31 <= len(combined)
-                   and len(bch_stream) + BCH_DA_DATA <= max_bch):
-                cl = None if lcombined is None else lcombined[pos:pos + 31]
-                out, _, errs, fixed = bch.chase_decode(
-                    combined[pos:pos + 31], cl, bch.TBL_DA,
-                    BCH_DA_SYN, BCH_DA_DATA)
-                if errs < 0:
-                    break
-                fixederrs += fixed
-                bch_stream += list(out)
-                pos += 31
-    return bch_stream, fixederrs
+        ti1, ti2 = gf2.deint2_idx(n_sym_last)
+        if n_sym_last > 1 and slen + BCH_DA_DATA <= max_bch:
+            # combined = h2[1:] + h1[1:] (ida_decode.c partial-tail path)
+            combined = np.concatenate([tail[ti2][1:], tail[ti1][1:]])
+            if llr is not None:
+                lt = np.asarray(llr[n_full * 124:], np.float32)
+                lcombined = np.concatenate([lt[ti2][1:], lt[ti1][1:]])
+            n_tc = len(combined) // 31
+            n_tc = min(n_tc, (max_bch - slen) // BCH_DA_DATA)
+            if n_tc > 0:
+                tc = combined[:n_tc * 31].reshape(-1, 31)
+                ltc = (None if llr is None
+                       else lcombined[:n_tc * 31].reshape(-1, 31))
+                cv, ce, cf = gf2.TBL_DA.chase(gf2.pack_bits(tc), ltc)
+                fails = np.nonzero(ce < 0)[0]
+                k_end = int(fails[0]) if len(fails) else len(cv)
+                stream_vals.extend(cv[:k_end] >> BCH_DA_SYN)
+                fixederrs += int(cf[:k_end].sum())
+    return _vals_to_bits(stream_vals), fixederrs
+
+
+def _vals_to_bits(vals: list) -> np.ndarray:
+    if not vals:
+        return np.zeros(0, np.uint8)
+    return gf2.unpack_bits(np.asarray(vals, np.uint32), BCH_DA_DATA).ravel()
+
+
+def _crc_table(poly: int = 0x1021) -> np.ndarray:
+    t = np.zeros(256, np.uint32)
+    for b in range(256):
+        crc = b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+        t[b] = crc
+    return t
+
+
+_CRC_TBL = _crc_table()
 
 
 def crc_ccitt(data: bytes) -> int:
+    """CRC-CCITT-FALSE (0x1021, init 0xFFFF) — table-driven
+    (ida_decode.c:379-394)."""
     crc = 0xFFFF
     for byte in data:
-        crc ^= byte << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x1021) & 0xFFFF if crc & 0x8000 \
-                else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ int(_CRC_TBL[(crc >> 8) ^ byte])
     return crc
 
 
@@ -281,30 +311,25 @@ def ida_decode(frame: dict) -> IdaBurst | None:
 
     bs = stream
     cont = int(bs[3])
-    da_ctr = (bs[5] << 2) | (bs[6] << 1) | bs[7]
-    da_len = ((bs[11] << 4) | (bs[12] << 3) | (bs[13] << 2)
-              | (bs[14] << 1) | bs[15])
-    zero1 = (bs[17] << 2) | (bs[18] << 1) | bs[19]
+    da_ctr = int(bs[5]) << 2 | int(bs[6]) << 1 | int(bs[7])
+    da_len = (int(bs[11]) << 4 | int(bs[12]) << 3 | int(bs[13]) << 2
+              | int(bs[14]) << 1 | int(bs[15]))
+    zero1 = int(bs[17]) << 2 | int(bs[18]) << 1 | int(bs[19])
     if zero1 != 0 or da_len > 20:
         return None
 
-    payload = bytes(
-        int("".join(str(int(b)) for b in bs[20 + i * 8:28 + i * 8]), 2)
-        for i in range(20))
+    payload = bytes(np.packbits(np.asarray(bs[20:180], np.uint8)))
 
     crc_ok = False
     stored_crc = 0
     computed = 0
     if da_len > 0:
-        stored_crc = bch.bits_to_uint(bs[180:196])
+        stored_crc = int(gf2.pack_bits(np.asarray(bs[180:196], np.uint8)))
         # CRC input: bits 0-19, 12 zero bits, bits 20..len-4
-        stream_bits = list(bs[:20]) + [0] * 12 + list(bs[20:len(bs) - 4])
-        nbytes = (len(stream_bits) + 7) // 8
-        buf = bytearray(nbytes)
-        for i, bit in enumerate(stream_bits):
-            if bit:
-                buf[i // 8] |= 1 << (7 - (i % 8))
-        computed = crc_ccitt(bytes(buf))
+        stream_bits = np.concatenate(
+            [np.asarray(bs[:20], np.uint8), np.zeros(12, np.uint8),
+             np.asarray(bs[20:len(bs) - 4], np.uint8)])
+        computed = crc_ccitt(bytes(np.packbits(stream_bits)))
         crc_ok = computed == 0
 
     return IdaBurst(

@@ -47,34 +47,63 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _retry(fn, attempts: int = 3, tag: str = ""):
+class DeviceLostError(RuntimeError):
+    """The TPU backend lost state (worker crash / restart): device buffers
+    are gone, so in-process retry cannot recover. Callers should restart
+    the run from host-retained inputs (cf. the reference's approach to
+    unrecoverable SDR faults: exit and let the operator restart,
+    soapysdr.c:343-344 — here we make the restart automatic)."""
+
+
+# Error-text classes for fault handling. Transient faults are retried in
+# place (the RPC is a pure function of live device buffers); device-lost
+# faults invalidate every buffer in the process, so they escalate to
+# DeviceLostError after a couple of hopeful retries (the tunnel sometimes
+# reconnects to the same, still-alive worker).
+_TRANSIENT = ("UNIMPLEMENTED", "DEADLINE_EXCEEDED", "ABORTED")
+_DEVICE_LOST = ("UNAVAILABLE", "worker process crashed", "DATA_LOSS")
+
+
+def _retry(fn, attempts: int = 4, tag: str = ""):
     """Re-issue a pure device call on transient backend faults.
 
     The axon TPU tunnel in this environment sporadically returns
     UNIMPLEMENTED / stalls on individual RPCs; every call here is a pure
-    function of its inputs, so retrying is safe."""
+    function of its inputs, so retrying is safe. UNAVAILABLE (worker
+    crash) is retried with a longer backoff, then surfaced as
+    DeviceLostError for the caller to handle."""
     import jax
 
     for k in range(attempts):
         try:
             return fn()
         except jax.errors.JaxRuntimeError as e:   # pragma: no cover
-            if k == attempts - 1 or "UNIMPLEMENTED" not in str(e):
+            msg = str(e)
+            transient = any(t in msg for t in _TRANSIENT)
+            lost = any(t in msg for t in _DEVICE_LOST)
+            if k == attempts - 1 or not (transient or lost):
+                if lost:
+                    raise DeviceLostError(f"{tag}: {msg}") from e
                 raise
-            print(f"warning: transient TPU fault in {tag}, retrying "
-                  f"({k + 1}/{attempts})", file=sys.stderr)
-            time.sleep(1.0 + k)
+            print(f"warning: {'transient' if transient else 'device'} TPU "
+                  f"fault in {tag}, retrying ({k + 1}/{attempts}): "
+                  f"{msg.splitlines()[-1][:100]}", file=sys.stderr)
+            time.sleep(1.0 + k if transient else 5.0 * (k + 1))
     raise RuntimeError("unreachable")
 
 
 @dataclasses.dataclass
 class PipelineStats:
-    """Counters matching the reference's stats line inputs (main.c:181-187)."""
+    """Counters matching the reference's stats line inputs (main.c:181-187),
+    plus n_faults: blocks whose results were lost to an unrecoverable
+    backend fault (no reference equivalent — its failure mode is queue
+    drops, main.c:198-205)."""
     n_samples: int = 0
     n_detected: int = 0
     n_handled: int = 0
     n_ok: int = 0
     n_dropped: int = 0
+    n_faults: int = 0
 
 
 class Pipeline:
@@ -117,6 +146,7 @@ class Pipeline:
 
     def reset(self, start_time_ns: int | None = None) -> None:
         """Fresh stream state; compiled executables are reused."""
+        import collections
         self.state = detect.init_state(self.p)
         self.tail = self._zeros_ext()
         self._rebase = 0
@@ -124,6 +154,11 @@ class Pipeline:
         self.prev_tagged = 0
         self.stats = PipelineStats()
         self.start_time_ns = start_time_ns
+        # Cumulative wall seconds per stage (threads overlap, so stages can
+        # sum to more than elapsed wall time; ratios still localize the
+        # bottleneck — the `jax.profiler` analogue of the reference's
+        # external profiling, ARCHITECTURE.md:630-634).
+        self.timing = collections.Counter()
 
     def _build_step(self):
         """One fused jitted dispatch per block.
@@ -247,7 +282,11 @@ class Pipeline:
             return self.step_fn(jnp.asarray(samples), prev_tail, prev_state,
                                 jnp.int32(n_valid), jnp.int32(rebase))
 
+        t0 = time.perf_counter()
         self.state, stream, self.tail, packed = _retry(dispatch, tag="step")
+        with self._lock:
+            self.timing["step_dispatch"] += time.perf_counter() - t0
+            self.timing["n_blocks"] += 1
         self._rebase = 1
         self.stats.n_samples += n_valid
         ctx = (stream, packed, self.base_index, dispatch)
@@ -256,12 +295,15 @@ class Pipeline:
 
     def _finish_block(self, ctx) -> list[dict]:
         stream, packed, base_index, redo = ctx
+        t0 = time.perf_counter()
         try:
             pk = np.asarray(packed)
         except jax.errors.JaxRuntimeError:   # pragma: no cover
             # transient tunnel fault: re-issue the step from its inputs
             _, stream, _, packed = _retry(redo, tag="step redo")
             pk = np.asarray(packed)
+        with self._lock:
+            self.timing["gone_fetch_wait"] += time.perf_counter() - t0
         g_count = int(pk[0, 0])
         n_tagged = int(pk[0, 1])
         with self._lock:
@@ -296,13 +338,34 @@ class Pipeline:
 
         with cf.ThreadPoolExecutor(max_workers=depth) as pool:
             fut = deque()
+
+            def take() -> list[dict]:
+                """Salvage policy: a block whose finish still fails after
+                _finish_block's internal redo loses only that block's
+                frames (counted in n_faults), mirroring the reference's
+                drop-on-overload semantics. DeviceLostError is not
+                salvageable (all in-flight buffers are gone): cancel the
+                rest and escalate to the caller."""
+                try:
+                    return fut.popleft().result()
+                except DeviceLostError:
+                    for f in fut:
+                        f.cancel()
+                    raise
+                except jax.errors.JaxRuntimeError as e:  # pragma: no cover
+                    with self._lock:
+                        self.stats.n_faults += 1
+                    print("warning: lost one block to a TPU fault: "
+                          f"{str(e).splitlines()[-1][:120]}", file=sys.stderr)
+                    return []
+
             for samples, n_valid in blocks:
                 ctx = self._dispatch_step(samples, n_valid)
                 fut.append(pool.submit(self._finish_block, ctx))
                 while len(fut) > depth:
-                    yield fut.popleft().result()
+                    yield take()
             while fut:
-                yield fut.popleft().result()
+                yield take()
 
     def _demod_bursts(self, stream, g, base_index: int) -> list[dict]:
         p, dmp = self.p, self.dmp
@@ -355,7 +418,11 @@ class Pipeline:
                 jnp.asarray(bins))
             return dm, dd, np.asarray(pf)
 
+        t0 = time.perf_counter()
         dm, dd, pf = _retry(dispatch, tag="burst batch")
+        with self._lock:
+            self.timing["burst_fetch_wait"] += time.perf_counter() - t0
+            self.timing["n_burst_batches"] += 1
         m = len(sel)
         pi = np.ascontiguousarray(pf[:, -7:]).view(np.int32)
         dm_ok = pi[:, 0].astype(bool)
@@ -378,6 +445,7 @@ class Pipeline:
         fine = pf[:, S2].astype(np.float64)
         level = pf[:, S2 + 1]
         total = pf[:, S2 + 2].astype(np.float64)
+        t1 = time.perf_counter()
         frames = []
         for j in np.nonzero(ok)[0]:
             gi = int(sel[j])
@@ -409,6 +477,7 @@ class Pipeline:
             ))
         with self._lock:
             self.stats.n_ok += int(ok[:m].sum())
+            self.timing["host_format"] += time.perf_counter() - t1
         return frames
 
     def noise_floor_db(self) -> float:

@@ -170,3 +170,61 @@ def test_ida_reassembly():
     r.flush(4_000_000_000)
     r.push(mk(1, 0, b"YY", 4_100_000_000), cb)
     assert got[-1] == b"AAABBBCCC"   # orphan fragment discarded
+
+
+def test_batch_decode_parity():
+    """decode_block must agree with the scalar frame_decode/ida_decode on
+    every frame, across clean, correctable, and corrupt inputs."""
+    import dataclasses
+
+    from iridium_tpu.decode import batch
+    from iridium_tpu.decode import frame as fm
+    from iridium_tpu.io import synth_frames as sf
+
+    rng = np.random.default_rng(7)
+    frames = []
+    ira_bits = sf.with_access(sf.ira_payload_bits(
+        sat_id=23, beam_id=11, xyz=(1000, -500, 1200),
+        pages=[(0x12345678, 3)]))
+    ida_bits = sf.with_access(sf.ida_payload_bits(
+        b"PARITY-CHECK", cont=0, ctr=0,
+        lcw_ft=0, lcw_code=6, lcw3_val=0x1ABCD))
+    for i in range(120):
+        base = ira_bits if i % 2 == 0 else ida_bits
+        bits = np.asarray(base, np.uint8).copy()
+        llr = rng.uniform(0.5, 4.0, len(bits)).astype(np.float32)
+        nerr = int(rng.integers(0, 7))        # up to heavy corruption
+        for p in rng.choice(np.arange(24, len(bits)), nerr, replace=False):
+            bits[p] ^= 1
+            llr[p] = 0.01
+        if i % 17 == 0:                        # truncated frames
+            bits = bits[:int(rng.integers(10, len(bits)))]
+            llr = llr[:len(bits)]
+        frames.append(dict(bits=bits, llr=llr, timestamp_ns=10 ** 18 + i,
+                           frequency=1.6221e9, direction="DL",
+                           magnitude=-20.0, noise=-100.0, level=0.01,
+                           confidence=95, n_symbols=len(bits) // 2))
+
+    results = batch.decode_block(frames)
+    n_fr = n_ida = 0
+    for f, (bres, bida) in zip(frames, results):
+        sres = fm.frame_decode(f)
+        sida = ida.ida_decode(f)
+        assert (bres is None) == (sres is None)
+        if sres is not None:
+            assert bres[0] == sres[0]
+            assert dataclasses.asdict(bres[1]) == dataclasses.asdict(sres[1])
+            n_fr += 1
+        assert (bida is None) == (sida is None)
+        if sida is not None:
+            d1 = dataclasses.asdict(bida)
+            d2 = dataclasses.asdict(sida)
+            bs1 = d1.pop("bch_stream")
+            bs2 = d2.pop("bch_stream")
+            lcw1 = d1.pop("lcw")
+            lcw2 = d2.pop("lcw")
+            assert np.array_equal(bs1, bs2)
+            assert lcw1 == lcw2
+            assert d1 == d2
+            n_ida += 1
+    assert n_fr > 20 and n_ida > 20
