@@ -157,8 +157,12 @@ def main(argv=None) -> int:
 
     need_ida = (args.parsed or gsmtap is not None or acars is not None
                 or web is not None)
+    # Three independent reassembly contexts, like the reference's
+    # ida_ctx / acars_ida_ctx / mtpos_ida_ctx (main.c:351-369): each
+    # consumer sees every reassembled message exactly once.
     reasm_gsmtap = ida_mod.IdaReassembler() if gsmtap else None
     reasm_acars = ida_mod.IdaReassembler() if acars else None
+    reasm_mtpos = ida_mod.IdaReassembler() if web is not None else None
 
     # any ACARS mode suppresses RAW stdout (reference frame_output.c:162,
     # options.c:403-431: --acars/--acars-json/--acars-udp/--feed all set
@@ -173,11 +177,17 @@ def main(argv=None) -> int:
 
     t_start = time.time()
     last_stat = t_start
+    last_solve = t_start
+    last_waiting = t_start
     prev = dict(det=0, ok=0, handled=0, samples=0)
     samp_rate = args.sample_rate
+    # Live mode: stdin pipe ("-" / /dev/stdin). The reference switches
+    # the first stats column from srr% to i:/s when live (main.c:487-492,
+    # options.c:512-524: -i implies live).
+    live = args.file in ("-", "/dev/stdin")
 
     def stats_line() -> None:
-        nonlocal last_stat, prev
+        nonlocal last_stat, last_solve, last_waiting, prev
         now = time.time()
         dt = now - last_stat
         if dt < 1.0:
@@ -215,9 +225,11 @@ def main(argv=None) -> int:
             prev = dict(det=s.n_detected, ok=s.n_ok, handled=s.n_handled,
                         samples=s.n_samples)
             return
-        print(f"{int(now)} | srr: {srr:5.1f}%"
+        first = (f"i: {dd / dt:3.0f}/s" if live
+                 else f"srr: {srr:5.1f}%")
+        print(f"{int(now)} | {first}"
               f" | i_avg: {s.n_detected / elapsed:3.0f}/s"
-              f" | q_max: {0:4d}"
+              f" | q_max: {pipe.take_q_peak():4d}"
               f" | i_ok: {in_ok:3.0f}%"
               f" | o: {dh / dt:4.0f}/s"
               f" | ok: {in_ok:3.0f}%"
@@ -229,8 +241,10 @@ def main(argv=None) -> int:
         last_stat = now
         prev = dict(det=s.n_detected, ok=s.n_ok, handled=s.n_handled,
                     samples=s.n_samples)
-        # Doppler solve every ~10 s (reference main.c:507-519)
-        if doppler is not None and int(elapsed) % 10 == 0 and elapsed > 5:
+        # Doppler solve every ~10 s; "waiting" note every ~60 s while
+        # unconverged (reference main.c:507-519)
+        if doppler is not None and now - last_solve >= 10 and elapsed > 5:
+            last_solve = now
             sol = doppler.solve()
             if sol.converged:
                 print(f"POSITION: {sol.lat:.6f}, {sol.lon:.6f} "
@@ -238,6 +252,10 @@ def main(argv=None) -> int:
                       f"{sol.n_measurements} meas)", file=sys.stderr)
                 if web is not None:
                     web.set_position(sol.lat, sol.lon, sol.hdop)
+            elif now - last_waiting >= 60:
+                last_waiting = now
+                print(f"POSITION: waiting ({sol.n_satellites} sats, "
+                      f"{sol.n_measurements} meas)", file=sys.stderr)
 
     n_gsmtap = 0
     for f in pipe.run_file(args.file, args.format):
@@ -275,6 +293,12 @@ def main(argv=None) -> int:
                 lambda data, ts, freq, d, m: acars.process(
                     data, ts, freq, d, m))
             reasm_acars.flush(f["timestamp_ns"])
+        if reasm_mtpos is not None:
+            # MT position layer on the map (main.c:365-369 → mtpos_ida_cb,
+            # web_map.c:280-361)
+            if ida_burst is not None:
+                reasm_mtpos.push(ida_burst, web.mtpos_ida_cb)
+            reasm_mtpos.flush(f["timestamp_ns"])
         stats_line()
 
     if args.verbose or True:

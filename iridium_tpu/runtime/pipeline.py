@@ -104,6 +104,10 @@ class PipelineStats:
     n_ok: int = 0
     n_dropped: int = 0
     n_faults: int = 0
+    # Peak in-flight block depth since last take_q_peak() — the analogue
+    # of the reference's samples_queue depth feeding `q_max:`
+    # (main.c:428-432): how far ingest runs ahead of the consumer.
+    q_peak: int = 0
 
 
 class Pipeline:
@@ -362,10 +366,20 @@ class Pipeline:
             for samples, n_valid in blocks:
                 ctx = self._dispatch_step(samples, n_valid)
                 fut.append(pool.submit(self._finish_block, ctx))
+                with self._lock:
+                    self.stats.q_peak = max(self.stats.q_peak, len(fut))
                 while len(fut) > depth:
                     yield take()
             while fut:
                 yield take()
+
+    def take_q_peak(self) -> int:
+        """Read-and-reset the peak in-flight depth (q_max semantics,
+        main.c:428-432,524: reset each stats interval)."""
+        with self._lock:
+            v = self.stats.q_peak
+            self.stats.q_peak = 0
+        return v
 
     def _demod_bursts(self, stream, g, base_index: int) -> list[dict]:
         p, dmp = self.p, self.dmp
