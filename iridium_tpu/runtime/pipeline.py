@@ -47,6 +47,66 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def pack_outputs(dm, dd):
+    """Pack everything the host needs into ONE f32 matrix so a burst batch
+    costs a single download RPC (~40 ms fixed latency through the axon
+    tunnel) instead of twelve; integer fields ride as bitcast f32 columns.
+    Layout (width 4S+11): bits(2S) | llr(2S) | fine | level | total_phase
+    | uw_corr | 7 bitcast i32 (dm_ok, dd_ok, n_symbols, confidence,
+    direction, start_dec, n_samples). Shared by the single-chip and
+    sharded burst processors; `unpack_outputs` is the host-side inverse."""
+    ints = jnp.stack(
+        [dm.ok.astype(jnp.int32), dd.ok.astype(jnp.int32),
+         dd.n_symbols, dd.confidence, dd.direction,
+         dm.start_dec, dm.n_samples], axis=1)
+    return jnp.concatenate(
+        [dd.bits.astype(jnp.float32), dd.llr,
+         dm.fine_offset[:, None], dd.level[:, None],
+         dd.total_phase[:, None], dm.uw_corr[:, None],
+         jax.lax.bitcast_convert_type(ints, jnp.float32)], axis=1)
+
+
+def unpack_outputs(pf: np.ndarray) -> dict:
+    """Host-side inverse of pack_outputs on a fetched (B, 4S+11) matrix."""
+    pi = np.ascontiguousarray(pf[:, -7:]).view(np.int32)
+    S2 = pf.shape[1] - 11
+    return dict(
+        dm_ok=pi[:, 0].astype(bool), dd_ok=pi[:, 1].astype(bool),
+        n_sym=pi[:, 2], conf=pi[:, 3], direc=pi[:, 4],
+        sdec=pi[:, 5].astype(np.int64),
+        bits=pf[:, :S2 // 2].astype(np.int32),
+        llr=pf[:, S2 // 2:S2],
+        fine=pf[:, S2].astype(np.float64), level=pf[:, S2 + 1],
+        total=pf[:, S2 + 2].astype(np.float64))
+
+
+def build_frame(p, dmp, in_ntaps: int, start_time_ns: int,
+                burst_id: int, bin_: int, mag: float, noise: float,
+                abs_start: int, u: dict, j: int) -> dict:
+    """One demod-frame dict from unpacked row j. Timestamp/frequency
+    arithmetic matches the reference exactly (burst_downmix.c:659-660,
+    :430-434, :783; PLL residual refinement qpsk_demod.c:521-527)."""
+    F = p.fft_size
+    k = bin_ - F // 2
+    cf = (p.center_frequency + k / F * p.sample_rate
+          + u["fine"][j] * dmp.output_sample_rate)
+    ns = int(u["n_sym"][j])
+    if ns > 0:
+        cf += u["total"][j] / (ns / iridium.SYMBOLS_PER_SECOND) \
+            / np.pi / 2.0
+    ts = (start_time_ns
+          + int(abs_start / p.sample_rate * 1e9)
+          + (in_ntaps // 2) * 1_000_000_000 // p.sample_rate
+          + int(int(u["sdec"][j]) / dmp.output_sample_rate * 1e9))
+    return dict(
+        id=burst_id, timestamp_ns=ts, frequency=cf,
+        magnitude=mag, noise=noise,
+        confidence=int(u["conf"][j]), level=float(u["level"][j]),
+        n_symbols=ns,
+        direction="UL" if int(u["direc"][j]) else "DL",
+        bits=u["bits"][j, :2 * ns], llr=u["llr"][j, :2 * ns])
+
+
 class DeviceLostError(RuntimeError):
     """The TPU backend lost state (worker crash / restart): device buffers
     are gone, so in-process retry cannot recover. Callers should restart
@@ -238,20 +298,7 @@ class Pipeline:
         def process(stream, starts, ext_lens, bins):
             dm = dm_one.batch(stream, starts, ext_lens, bins)
             dd = jax.vmap(demod_one)(dm.samples, dm.n_samples, dm.direction)
-            # Pack everything the host needs into ONE f32 matrix so a burst
-            # batch costs a single download RPC (~40 ms fixed latency
-            # through the axon tunnel) instead of twelve. Integer fields
-            # ride as bitcast f32 columns. dm/dd are returned too for the
-            # (rare) save-bursts path; unfetched outputs cost nothing.
-            ints = jnp.stack(
-                [dm.ok.astype(jnp.int32), dd.ok.astype(jnp.int32),
-                 dd.n_symbols, dd.confidence, dd.direction,
-                 dm.start_dec, dm.n_samples], axis=1)
-            packed = jnp.concatenate(
-                [dd.bits.astype(jnp.float32), dd.llr,
-                 dm.fine_offset[:, None], dd.level[:, None],
-                 dd.total_phase[:, None], dm.uw_corr[:, None],
-                 jax.lax.bitcast_convert_type(ints, jnp.float32)], axis=1)
+            packed = pack_outputs(dm, dd)
             dm = dm._replace(ok=dm.ok.astype(jnp.int32))
             dd = dd._replace(ok=dd.ok.astype(jnp.int32))
             return dm, dd, packed
@@ -438,57 +485,24 @@ class Pipeline:
             self.timing["burst_fetch_wait"] += time.perf_counter() - t0
             self.timing["n_burst_batches"] += 1
         m = len(sel)
-        pi = np.ascontiguousarray(pf[:, -7:]).view(np.int32)
-        dm_ok = pi[:, 0].astype(bool)
-        dd_ok = pi[:, 1].astype(bool)
+        u = unpack_outputs(pf)
         if self.save_bursts_dir:
             self._save_bursts(dm, dd, g, sel, base_index)
         with self._lock:
-            self.stats.n_handled += int(dm_ok[:m].sum())
-        ok = dm_ok & dd_ok
+            self.stats.n_handled += int(u["dm_ok"][:m].sum())
+        ok = u["dm_ok"] & u["dd_ok"]
         ok[m:] = False
         if not ok.any():
             return []
-        S2 = pf.shape[1] - 11
-        n_sym = pi[:, 2]
-        conf = pi[:, 3]
-        direc = pi[:, 4]
-        sdec = pi[:, 5].astype(np.int64)
-        bits = pf[:, :S2 // 2].astype(np.int32)
-        llr = pf[:, S2 // 2:S2]
-        fine = pf[:, S2].astype(np.float64)
-        level = pf[:, S2 + 1]
-        total = pf[:, S2 + 2].astype(np.float64)
         t1 = time.perf_counter()
         frames = []
         for j in np.nonzero(ok)[0]:
             gi = int(sel[j])
-            k = int(g["bin"][gi]) - F // 2
-            cf = (p.center_frequency
-                  + k / F * p.sample_rate
-                  + fine[j] * dmp.output_sample_rate)
-            ns = int(n_sym[j])
-            if ns > 0:
-                cf += total[j] / (ns / iridium.SYMBOLS_PER_SECOND) \
-                    / np.pi / 2.0
-            ts = (self.start_time_ns
-                  + int(int(abs_start_cl[gi]) / p.sample_rate * 1e9)
-                  + (self.in_ntaps // 2) * 1_000_000_000
-                  // p.sample_rate
-                  + int(int(sdec[j]) / dmp.output_sample_rate * 1e9))
-            frames.append(dict(
-                id=int(g["id"][gi]),
-                timestamp_ns=ts,
-                frequency=cf,
-                magnitude=float(g["mag"][gi]),
-                noise=float(g["noise"][gi]),
-                confidence=int(conf[j]),
-                level=float(level[j]),
-                n_symbols=ns,
-                direction="UL" if int(direc[j]) else "DL",
-                bits=bits[j, :2 * ns],
-                llr=llr[j, :2 * ns],
-            ))
+            frames.append(build_frame(
+                p, dmp, self.in_ntaps, self.start_time_ns,
+                int(g["id"][gi]), int(g["bin"][gi]),
+                float(g["mag"][gi]), float(g["noise"][gi]),
+                int(abs_start_cl[gi]), u, j))
         with self._lock:
             self.stats.n_ok += int(ok[:m].sum())
             self.timing["host_format"] += time.perf_counter() - t1

@@ -1,8 +1,13 @@
 """Multi-chip sharded pipeline tests on the virtual 8-device CPU mesh.
 
-Oracle: the single-chip detector scan on the same capture. The sharded
-detector must find the same bursts (same start/stop/bin/mag/noise; ids
-differ by the documented per-shard offset+stride scheme)."""
+Oracle: the single-chip pipeline on the same capture. The sharded
+multi-block driver must detect the same bursts and produce the same RAW
+frames (timestamps, frequencies, bits); burst ids differ by the
+documented per-shard offset+stride scheme, so parity is checked with
+the `I:` id field masked — the same oracle class as the reference's
+timestamp-stripped sorted-MD5 (test-configurations.sh:149-151)."""
+
+import re
 
 import jax
 import jax.numpy as jnp
@@ -13,7 +18,9 @@ from jax.sharding import Mesh
 from iridium_tpu.config import DetectorConfig
 from iridium_tpu.dsp import detect
 from iridium_tpu.io import synth
+from iridium_tpu.output.raw import RawPrinter
 from iridium_tpu.parallel.stream import ShardedPipeline
+from iridium_tpu.runtime.pipeline import Pipeline
 
 
 def tiny_cfg(**kw):
@@ -64,48 +71,77 @@ def test_sharded_detect_matches_single_chip(mesh8):
          round(float(s1.g_mag[i]), 3), round(float(s1.g_noise[i]), 3))
         for i in range(n1))
 
-    # sharded
-    sp = ShardedPipeline(cfg, mesh=mesh8, burst_batch=2)
-    st = sp.init_state()
-    tail = jnp.zeros((sp.l_ext,), jnp.complex64)
-    st, dm, dd = sp.step(jnp.asarray(cap), st, jnp.int32(len(cap)),
-                         tail, jnp.int32(0))
-    counts = np.asarray(st.g_count)
+    # sharded detect step
+    sp = ShardedPipeline(cfg, mesh=mesh8, burst_batch=2, start_time_ns=0)
+    ctx = sp._dispatch_step(cap, len(cap))
+    pk = sp._fetch_gone(ctx[2])
     sharded = []
+    ids = []
     for sh in range(8):
-        for i in range(int(counts[sh])):
-            sharded.append((
-                int(st.g_start[sh, i]), int(st.g_stop[sh, i]),
-                int(st.g_bin[sh, i]),
-                round(float(st.g_mag[sh, i]), 3),
-                round(float(st.g_noise[sh, i]), 3)))
+        for i in range(int(pk[sh, 0, 0])):
+            r = pk[sh, 1 + i]
+            sharded.append((int(r[1]), int(r[2]), int(r[3]),
+                            round(float(r[4:5].view(np.float32)[0]), 3),
+                            round(float(r[5:6].view(np.float32)[0]), 3)))
+            ids.append(int(r[0]))
     assert n1 >= 1
     assert sorted(sharded) == single
-
-    # burst ids globally unique
-    ids = [int(st.g_id[sh, i]) for sh in range(8)
-           for i in range(int(counts[sh]))]
-    assert len(set(ids)) == len(ids)
+    assert len(set(ids)) == len(ids)          # globally unique burst ids
 
 
-def test_sharded_demod_bits(mesh8):
+def _strip_id(line: str) -> str:
+    return re.sub(r"I:\d{11}", "I:-----------", line)
+
+
+def test_sharded_multiblock_raw_parity(mesh8):
+    """4-block capture with bursts inside blocks AND straddling block
+    boundaries: the sharded driver's RAW lines must equal the single-chip
+    pipeline's (id field masked)."""
     cfg = tiny_cfg()
     p = cfg.derived()
-    bits = np.random.default_rng(6).integers(0, 2, 200).astype(np.uint8)
-    cap = make_burst_capture(bits, n=p.block_samples, seed=2)
+    bs = p.block_samples
+    rng = np.random.default_rng(7)
+    total = 4 * bs
+    cap = (rng.standard_normal(total) + 1j * rng.standard_normal(total)
+           ).astype(np.complex64) * np.float32(0.01 / np.sqrt(2))
 
-    sp = ShardedPipeline(cfg, mesh=mesh8, burst_batch=6)
-    st = sp.init_state()
-    tail = jnp.zeros((sp.l_ext,), jnp.complex64)
-    st, dm, dd = sp.step(jnp.asarray(cap), st, jnp.int32(len(cap)),
-                         tail, jnp.int32(0))
-    ok = np.asarray(dd.ok)
-    assert ok.any(), "no burst demodulated in sharded step"
-    expected = synth.expected_bits(bits, "DL")
-    got_rows = np.asarray(dd.bits)[ok]
-    match = any(
-        np.array_equal(row[:len(expected)], expected) for row in got_rows)
-    assert match, "demodulated bits differ from synthetic payload"
+    placements = [
+        (12_000, 120_000.0, 1),          # block 0, after priming
+        (bs - 6_000, -350_000.0, 2),     # straddles block 0/1 boundary
+        (bs + 40_000, 480_000.0, 3),     # block 1
+        (2 * bs + 5_000, -120_000.0, 4), # block 2, near boundary
+        (3 * bs + 10_000, 240_000.0, 5), # block 3
+    ]
+    rate = 2_000_000
+    for start, freq, seed in placements:
+        bits = np.random.default_rng(seed).integers(0, 2, 160).astype(np.uint8)
+        from scipy.signal import resample_poly
+        bb = synth.modulate(synth.burst_symbols(bits, "DL"))
+        x = resample_poly(bb, up=rate // 250_000, down=1).astype(np.complex64)
+        ramp = (0.5 - 0.5 * np.cos(
+            np.pi * np.arange(max(4 * rate // 25_000, 8))
+            / max(4 * rate // 25_000, 8))).astype(np.float32)
+        x[:len(ramp)] *= ramp
+        x[-len(ramp):] *= ramp[::-1]
+        n = np.arange(len(x), dtype=np.float64)
+        x = (x * np.exp(2j * np.pi * freq / rate * n)).astype(np.complex64)
+        # 35 dB over the 0.01 noise floor, like make_capture's scaling
+        cap[start:start + len(x)] += np.float32(0.01 * 10 ** (35 / 20)) * x
+
+    printer = RawPrinter("t1")
+    t0 = 1_700_000_000_000_000_000
+
+    pipe1 = Pipeline(det_cfg=cfg, burst_batch=4, start_time_ns=t0)
+    single = sorted(_strip_id(printer.format(f))
+                    for f in pipe1.run_array(cap))
+    assert len(single) >= 4, "oracle pipeline missed synthetic bursts"
+
+    sp = ShardedPipeline(cfg, mesh=mesh8, burst_batch=4, start_time_ns=t0)
+    sharded = sorted(_strip_id(printer.format(f))
+                     for f in sp.run_array(cap))
+    assert sharded == single
+    assert sp.stats.n_detected == pipe1.stats.n_detected
+    assert sp.stats.n_ok == pipe1.stats.n_ok
 
 
 def test_dryrun_entrypoints():
