@@ -70,7 +70,16 @@ class AcarsMessage:
 class AcarsDecoder:
     def __init__(self, json_out: bool = False, udp_targets=(),
                  station: str | None = None, text_out=None,
-                 feed_sender=None, wall_t0: float | None = None):
+                 feed_sender=None, wall_t0: float | None = None,
+                 la="auto"):
+        # Primary ACARS decoder is libacars-2 when present (ARINC-622
+        # ADS-C/CPDLC, multi-block reassembly; sbd_acars.c:410-601); the
+        # manual parser below is the fallback (:603-996). `la` accepts a
+        # LibAcars-like object for tests, None to force the fallback.
+        if la == "auto":
+            from . import libacars
+            la = libacars.load()
+        self.la = la
         self.json_out = json_out
         self.station = station
         self.text_out = text_out or sys.stdout
@@ -211,10 +220,82 @@ class AcarsDecoder:
     def _sbd_process(self, sbd: bytes, ul: bool, ts: int, freq: float,
                      mag: float) -> None:
         if len(sbd) > 2 and sbd[0] == 0x01:
-            self._acars_parse(sbd, ul, ts, freq, mag)
+            if self.la is not None:
+                self._acars_parse_libacars(sbd, ul, ts, freq, mag)
+            else:
+                self._acars_parse(sbd, ul, ts, freq, mag)
             return
         if sbd:
             self._sbd_raw(sbd, ul, ts)
+
+    # ---- primary ACARS parse via libacars (sbd_acars.c:463-601) ----
+
+    def _acars_parse_libacars(self, data: bytes, ul: bool, ts: int,
+                              freq: float, mag: float) -> None:
+        data = data[1:]                         # strip SOH
+        hdr = b""
+        if data and data[0] == 0x03 and len(data) >= 8:
+            hdr = data[:8]                      # iridium-specific header
+            data = data[8:]
+        if len(data) < 13:
+            return
+        parsed = self.la.parse(bytes(data), ul, self._unix(ts))
+        if parsed is None:
+            return
+        if parsed.reasm_in_progress:
+            return
+        self.stats["acars_total"] += 1
+        if parsed.err:
+            self.stats["acars_errors"] += 1
+
+        if self.json_out or self._udp:
+            if not parsed.err:
+                js = self._la_envelope(parsed, ts, freq, mag, hdr)
+                if self.json_out:
+                    print(js, file=self.text_out)
+                for s, addr in self._udp:
+                    try:
+                        s.sendto(js.encode(), addr)
+                    except OSError:
+                        pass
+        if not self.json_out:
+            line = (f"ACARS: {self._iso(ts)} {'UL' if ul else 'DL'} "
+                    + ("[hdr:iridium] " if hdr else ""))
+            print(line + "\n" + parsed.text, file=self.text_out, end="")
+
+        if self.feed_sender is not None and not parsed.err:
+            a = parsed.acars
+            m = AcarsMessage(
+                mode=a.get("mode", ""), reg=a.get("reg", ""),
+                ack=a.get("ack", ""), label=a.get("label", ""),
+                blk_id=a.get("blk_id", ""),
+                cont=bool(a.get("more", False)),
+                flight=a.get("flight", ""), msg_num=a.get("msg_num", ""),
+                msg_num_seq=a.get("msg_num_seq", ""),
+                text=a.get("msg_text", ""),
+                errors=0, ul=ul, timestamp_ns=ts, frequency=freq,
+                magnitude=mag, header=hdr)
+            self.feed_sender(self._to_feed_json(m))
+        self.messages.append(parsed)
+
+    def _la_envelope(self, parsed, ts: int, freq: float, mag: float,
+                     hdr: bytes) -> str:
+        """dumpvdl2-style "iridium" JSON envelope wrapping the full
+        libacars tree (sbd_acars.c:427-459,524-548)."""
+        unix = self._unix(ts)
+        body = {
+            "iridium": {
+                "app": {"name": "iridium-tpu", "ver": "0.1"},
+                **({"station": self.station} if self.station else {}),
+                "t": {"sec": int(unix),
+                      "usec": int((unix - int(unix)) * 1e6)},
+                "freq": int(freq),
+                "sig_level": round(mag, 2),
+                **({"header": hdr.hex()} if hdr else {}),
+                **parsed.tree,
+            }
+        }
+        return json.dumps(body, separators=(",", ":"))
 
     def _sbd_raw(self, sbd: bytes, ul: bool, ts: int) -> None:
         hexs = sbd[:64].hex()

@@ -166,6 +166,115 @@ def test_acars_json_envelope():
     assert js["iridium"]["acars"]["label"] == "H1"
 
 
+class FakeLibAcars:
+    """Stand-in for the ctypes binding: records what the decoder hands it
+    and returns a canned libacars-style JSON tree (the shape
+    la_proto_tree_format_json produces for a plain ACARS message)."""
+
+    def __init__(self, tree=None, text="ACARS:\n Reg: .N1234A\n"):
+        from iridium_tpu.decode.libacars import ParsedAcars
+        self.calls = []
+        self._mk = ParsedAcars
+        self.tree = tree or {
+            "acars": {"err": False, "crc_ok": True, "mode": "2",
+                      "reg": ".N1234A", "label": "H1", "blk_id": "1",
+                      "ack": "\x15", "msg_text": "LIBACARS TEST"}}
+        self.text = text
+
+    def parse(self, data, ul, unix_time):
+        self.calls.append((bytes(data), ul, unix_time))
+        return self._mk(self.tree, self.text)
+
+
+def wrap_sbd_ida(sbd):
+    pre = bytes([0x20, 0, 0, 1, 0])
+    return bytes([0x76, 0x08]) + pre + bytes([0x10, len(sbd), 1]) + sbd
+
+
+def test_acars_libacars_json_envelope():
+    """Primary path: libacars present -> dumpvdl2-style "iridium" JSON
+    envelope wrapping the full libacars tree (sbd_acars.c:427-459,
+    524-548); SOH is stripped before the library sees the payload
+    (:466-470)."""
+    import io
+    la = FakeLibAcars()
+    dec = AcarsDecoder(json_out=True, station="TEST1",
+                       wall_t0=1_700_000_000.0, la=la)
+    dec.text_out = io.StringIO()
+    sbd = make_acars_sbd(b"IGNORED BY FAKE")
+    dec.process(wrap_sbd_ida(sbd), 1_000_000_000, 1.6262e9, "DL", 30.0)
+    assert len(la.calls) == 1
+    data, ul, unix = la.calls[0]
+    assert data == sbd[1:]          # SOH stripped, no iridium header here
+    assert ul is False
+    assert abs(unix - 1_700_000_001.0) <= 1.0
+    js = json.loads(dec.text_out.getvalue())
+    assert js["iridium"]["station"] == "TEST1"
+    assert js["iridium"]["app"]["name"] == "iridium-tpu"
+    assert js["iridium"]["acars"]["msg_text"] == "LIBACARS TEST"
+    assert js["iridium"]["freq"] == 1_626_200_000
+    assert dec.stats["acars_total"] == 1
+    assert dec.stats["acars_errors"] == 0
+
+
+def test_acars_libacars_iridium_header_strip():
+    """A 0x03-led 8-byte iridium-specific header between SOH and the
+    ACARS frame is stripped and surfaced in the envelope
+    (sbd_acars.c:471-482)."""
+    import io
+    la = FakeLibAcars()
+    dec = AcarsDecoder(json_out=True, wall_t0=1_700_000_000.0, la=la)
+    dec.text_out = io.StringIO()
+    hdr = bytes([0x03, 1, 2, 3, 4, 5, 6, 7])
+    core = make_acars_sbd(b"X")[1:]          # frame after SOH
+    sbd = b"\x01" + hdr + core
+    dec.process(wrap_sbd_ida(sbd), 2_000_000_000, 1.6262e9, "DL", 25.0)
+    data, ul, _ = la.calls[0]
+    assert data == core and ul is False
+    js = json.loads(dec.text_out.getvalue())
+    assert js["iridium"]["header"] == hdr.hex()
+
+
+def test_acars_libacars_reassembly_suppressed():
+    """Fragments still inside libacars reassembly produce no output and
+    no stats bump (sbd_acars.c:497-504 skips on reasm in progress)."""
+    import io
+    la = FakeLibAcars(tree={"acars": {"err": False,
+                                      "reasm_status": "in progress"}})
+    dec = AcarsDecoder(json_out=True, wall_t0=1_700_000_000.0, la=la)
+    dec.text_out = io.StringIO()
+    dec.process(wrap_sbd_ida(make_acars_sbd(b"FRAG")), 1_000_000_000,
+                1.6262e9, "DL", 30.0)
+    assert dec.stats["acars_total"] == 0
+    assert dec.text_out.getvalue() == ""
+
+
+def test_acars_libacars_feed_from_tree():
+    """The airframes feed JSON is built from the libacars tree fields
+    (sbd_acars.c:550-597)."""
+    sent = []
+    la = FakeLibAcars()
+    dec = AcarsDecoder(wall_t0=1_700_000_000.0, la=la,
+                       feed_sender=sent.append)
+    import io
+    dec.text_out = io.StringIO()
+    dec.process(wrap_sbd_ida(make_acars_sbd(b"Y")), 1_000_000_000,
+                1.6262e9, "DL", 30.0)
+    assert len(sent) == 1
+    feed = json.loads(sent[0])
+    acars = feed["acars"]
+    assert acars["tail"] == "N1234A" and acars["label"] == "H1"
+    assert dec.text_out.getvalue().startswith("ACARS: ")
+
+
+def test_libacars_load_graceful():
+    """load() never raises: returns a binding or None (HAVE_LIBACARS
+    compile-time split analogue)."""
+    from iridium_tpu.decode import libacars
+    la = libacars.load()
+    assert la is None or isinstance(la, libacars.LibAcars)
+
+
 def test_mt_position_chain_0605():
     """Full MT chain (VERDICT r1 #4): a synthetic 0x0605 IDA message goes
     reassembler -> web.mtpos_ida_cb -> an MT point in snapshot(), matching
