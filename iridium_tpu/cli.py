@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="station identifier for ACARS JSON output")
     p.add_argument("--save-bursts", metavar="DIR",
                    help="save IQ samples of decoded bursts to directory")
+    p.add_argument("--profile", metavar="DIR",
+                   help="write a jax.profiler trace (TensorBoard/Perfetto "
+                        "format) for the run and print the per-stage "
+                        "timing breakdown (SURVEY.md §5: the TPU analogue "
+                        "of the reference's external CPU profiling, "
+                        "ARCHITECTURE.md:630-634)")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--burst-batch", type=int, default=16,
                    help="device burst batch size (TPU tuning)")
@@ -257,6 +263,9 @@ def main(argv=None) -> int:
                 print(f"POSITION: waiting ({sol.n_satellites} sats, "
                       f"{sol.n_measurements} meas)", file=sys.stderr)
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
     n_gsmtap = 0
     for f in pipe.run_file(args.file, args.format):
         ida_burst = None
@@ -300,6 +309,21 @@ def main(argv=None) -> int:
                 reasm_mtpos.push(ida_burst, web.mtpos_ida_cb)
             reasm_mtpos.flush(f["timestamp_ns"])
         stats_line()
+
+    if args.profile:
+        jax.profiler.stop_trace()
+        t = pipe.timing
+        nb = max(t["n_blocks"], 1)
+        print("profile: per-stage cumulative wall seconds "
+              "(threads overlap; ratios localize the bottleneck):",
+              file=sys.stderr)
+        for k in ("step_dispatch", "gone_fetch_wait", "burst_fetch_wait",
+                  "host_format"):
+            print(f"profile:   {k:<18} {t[k]:8.3f} s "
+                  f"({t[k] / nb * 1e3:7.2f} ms/block)", file=sys.stderr)
+        print(f"profile:   blocks={t['n_blocks']} "
+              f"burst_batches={t['n_burst_batches']}; "
+              f"trace written to {args.profile}", file=sys.stderr)
 
     if args.verbose or True:
         print(f"burst_detect: tagged {pipe.stats.n_detected} bursts total",
