@@ -103,7 +103,8 @@ def run_child(args) -> None:
     det = DetectorConfig(sample_rate=rate, frames_per_block=2048,
                          gone_capacity=2048)
     pipe = Pipeline(det_cfg=det, burst_batch=args.burst_batch,
-                    start_time_ns=1_700_000_000_000_000_000)
+                    start_time_ns=1_700_000_000_000_000_000,
+                    use_pallas=False if args.no_pallas else None)
     bs = pipe.p.block_samples
     log(f"devices: {jax.devices()}")
     t0 = time.perf_counter()
@@ -178,7 +179,8 @@ def main() -> None:
     ap.add_argument("--burst-rate", type=float, default=100.0,
                     help="injected bursts/s (detections ~3x this)")
     ap.add_argument("--burst-batch", type=int, default=32)
-    ap.add_argument("--attempts", type=int, default=4)
+    ap.add_argument("--attempts", type=int, default=5)
+    ap.add_argument("--no-pallas", action="store_true")
     args = ap.parse_args()
 
     if args.child:
@@ -186,10 +188,16 @@ def main() -> None:
         return
 
     # Parent: retry the whole measurement in a fresh process on failure.
+    # Escalation ladder: attempts 0-1 full config; 2+ halve the blocks;
+    # 3+ also drop to the XLA-only path (if a Pallas kernel fault is
+    # crashing the worker, this still lands a valid number — the analogue
+    # of the reference's --no-simd/--no-gpu verification fallbacks).
     for attempt in range(args.attempts):
         extra = []
-        if attempt >= 2:   # lighten the load for late attempts
-            extra = ["--blocks", str(max(4, args.blocks // 2))]
+        if attempt >= 2:
+            extra += ["--blocks", str(max(4, args.blocks // 2))]
+        if attempt >= 3 or args.no_pallas:
+            extra += ["--no-pallas"]
         cmd = [sys.executable, os.path.abspath(__file__), "--child",
                "--blocks", str(args.blocks),
                "--burst-rate", str(args.burst_rate),
@@ -214,8 +222,10 @@ def main() -> None:
         elif res is not None:
             log(f"child failed rc={res.returncode}")
         if attempt < args.attempts - 1:
-            log("waiting 60 s for the TPU tunnel to recover...")
-            time.sleep(60)
+            # a crashed worker can leave the tunnel wedged for minutes
+            wait = 60 * (attempt + 1)
+            log(f"waiting {wait} s for the TPU tunnel to recover...")
+            time.sleep(wait)
     log("all bench attempts failed")
     sys.exit(1)
 
