@@ -39,7 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="file info string for output (default: auto)")
     p.add_argument("--no-pallas", action="store_true",
                    help="use the XLA verification path instead of Pallas "
-                        "kernels (cf. reference --no-simd/--no-gpu)")
+                        "kernels (cf. reference --no-simd/--no-gpu); "
+                        "this is currently the default")
+    p.add_argument("--pallas", action="store_true",
+                   help="opt into the experimental Pallas burst kernels")
     p.add_argument("--no-gardner", action="store_true",
                    help="disable Gardner timing recovery")
     p.add_argument("--parsed", action="store_true",
@@ -119,7 +122,8 @@ def main(argv=None) -> int:
                     burst_batch=args.burst_batch,
                     use_gardner=not args.no_gardner,
                     save_bursts_dir=args.save_bursts,
-                    use_pallas=False if args.no_pallas else None)
+                    use_pallas=True if args.pallas
+                    else (False if args.no_pallas else None))
     printer = RawPrinter(args.file_info)
 
     zmq_sock = None

@@ -182,9 +182,13 @@ class Pipeline:
         det_cfg = det_cfg or DetectorConfig()
         dm_cfg = dm_cfg or DownmixConfig()
         if use_pallas is None:
-            # Pallas kernels compile only on real TPU; the XLA path is the
-            # CPU/verification reference (cf. --no-simd, ARCHITECTURE.md:638)
-            use_pallas = jax.default_backend() not in ("cpu",)
+            # Default OFF: the fused rotate+decimate kernel reproducibly
+            # crashes the v5e worker through this environment's TPU
+            # runtime (UNAVAILABLE at the first burst batch; A/B-isolated
+            # against the XLA path, which runs the same capture cleanly).
+            # Opt in with use_pallas=True; the XLA path remains the
+            # verification reference (cf. --no-simd, ARCHITECTURE.md:638).
+            use_pallas = False
         self.use_pallas = use_pallas
         self.p: DetectorParams = det_cfg.derived()
         self.dmp: DownmixParams = dm_cfg.derived(self.p)
@@ -203,6 +207,8 @@ class Pipeline:
 
         self._build_step()
         self._build_burst_processor()
+        # variadic packed-output concat (one compile per arity, cached)
+        self._concat_fn = jax.jit(lambda *xs: jnp.concatenate(xs, axis=0))
         self._lock = threading.Lock()
         self.reset()
         self.start_time_ns = start_time_ns
@@ -449,41 +455,52 @@ class Pipeline:
         buckets = [(np.nonzero(small_sel)[0], self.process_small),
                    (np.nonzero(~small_sel)[0], self.process_fn)]
 
-        frames = []
+        # Build all batch jobs for the block, dispatch them back-to-back,
+        # then fetch ONE device-concatenated packed matrix. Through the
+        # ~40 ms-latency tunnel this replaces k fetch RPCs per block with
+        # one (at 250-400 bursts/s a block carries ~8 batches — the
+        # per-batch fetches alone used to cost more than the compute).
         B = self.burst_batch
+        jobs = []
         for idxs, proc in buckets:
             for j0 in range(0, len(idxs), B):
                 sel = idxs[j0:j0 + B]
-                frames += self._demod_batch(
-                    stream, g, base_index, proc, sel,
-                    rel_start, ext_len, abs_start_cl)
+                m = len(sel)
+                starts = np.zeros(B, np.int32)
+                lens = np.zeros(B, np.int32)
+                bins = np.zeros(B, np.int32)
+                starts[:m] = rel_start[sel]
+                lens[:m] = ext_len[sel]
+                bins[:m] = g["bin"][sel]
+                jobs.append((sel, proc, starts, lens, bins))
+        if not jobs:
+            return []
+
+        def dispatch_all():
+            outs = [proc(stream, jnp.asarray(starts), jnp.asarray(lens),
+                         jnp.asarray(bins))
+                    for _, proc, starts, lens, bins in jobs]
+            pf_all = outs[0][2] if len(outs) == 1 \
+                else self._concat_fn(*[o[2] for o in outs])
+            return outs, np.asarray(pf_all)
+
+        t0 = time.perf_counter()
+        outs, pf_all = _retry(dispatch_all, tag="burst batches")
+        with self._lock:
+            self.timing["burst_fetch_wait"] += time.perf_counter() - t0
+            self.timing["n_burst_batches"] += len(jobs)
+
+        frames = []
+        for row, ((sel, proc, *_), (dm, dd, _)) in enumerate(zip(jobs, outs)):
+            frames += self._format_batch(
+                pf_all[row * B:(row + 1) * B], dm, dd, g, sel,
+                base_index, abs_start_cl)
         frames.sort(key=lambda f: f["id"])
         return frames
 
-    def _demod_batch(self, stream, g, base_index, proc, sel,
-                     rel_start, ext_len, abs_start_cl) -> list[dict]:
+    def _format_batch(self, pf, dm, dd, g, sel, base_index,
+                      abs_start_cl) -> list[dict]:
         p, dmp = self.p, self.dmp
-        F = p.fft_size
-        B = self.burst_batch
-        m = len(sel)
-        starts = np.zeros(B, np.int32)
-        lens = np.zeros(B, np.int32)
-        bins = np.zeros(B, np.int32)
-        starts[:m] = rel_start[sel]
-        lens[:m] = ext_len[sel]
-        bins[:m] = g["bin"][sel]
-
-        def dispatch():
-            dm, dd, pf = proc(
-                stream, jnp.asarray(starts), jnp.asarray(lens),
-                jnp.asarray(bins))
-            return dm, dd, np.asarray(pf)
-
-        t0 = time.perf_counter()
-        dm, dd, pf = _retry(dispatch, tag="burst batch")
-        with self._lock:
-            self.timing["burst_fetch_wait"] += time.perf_counter() - t0
-            self.timing["n_burst_batches"] += 1
         m = len(sel)
         u = unpack_outputs(pf)
         if self.save_bursts_dir:
