@@ -57,8 +57,15 @@ def make_rotate_decimate(l_ext: int, dec_cap: int, decim: int,
 
     assert tile % 128 == 0, "tile must be a multiple of 128 lanes"
     n_tiles = math.ceil(dec_cap / tile)
-    in_rows = tile + j_rows
-    pad_rows = n_tiles * tile + j_rows
+    # Sublane-align every DMA: in_rows (the HBM->VMEM copy extent) is
+    # rounded to the f32 sublane count (8), and pad_rows (the per-burst
+    # row stride) along with it, so row0 = b*pad_rows + t*tile is always
+    # 8-aligned. Mosaic's dynamic-slice DMA faults the TPU worker on
+    # misaligned sublane offsets (observed as UNAVAILABLE worker crashes
+    # through the axon runtime). The extra rows are zero padding; the
+    # accumulation loop only reads the first tile + j_rows of them.
+    in_rows = tile + 8 * math.ceil(j_rows / 8)
+    pad_rows = n_tiles * tile + (in_rows - tile)
     out_len = n_tiles * tile
 
     def kernel(k_ref, h_ref, xr_hbm, xi_hbm, ore_hbm, oim_hbm,
