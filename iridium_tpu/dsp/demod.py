@@ -109,7 +109,9 @@ def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
 
         init = (np.float32(0.0), np.float32(0.0),
                 np.complex64(0.0), np.bool_(False))
-        _, (syms, valid) = jax.lax.scan(body, init, iota_s)
+        # unroll: the per-symbol body is a handful of VPU ops; unrolling
+        # amortizes the compiled while-loop overhead over 8 symbols
+        _, (syms, valid) = jax.lax.scan(body, init, iota_s, unroll=8)
         return syms, valid
 
     def simple(x, n_samp):
@@ -144,7 +146,7 @@ def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
                     jnp.where(upd, total + sc, total)), out
 
         init = (np.complex64(1.0), np.float32(0.0))
-        (_, total), out = jax.lax.scan(body, init, (syms, valid))
+        (_, total), out = jax.lax.scan(body, init, (syms, valid), unroll=8)
         return out, total
 
     def demod(x, n_samples, direction):

@@ -471,7 +471,10 @@ def make_detect_block(p: DetectorParams, **shard_kw):
         # (index advanced after processing; feed loop burst_detect.c:821-835).
         idxs = np.arange(n_frames, dtype=np.int32) * p.fft_size
         active = (idxs + p.fft_size) <= n_valid
-        state, _ = jax.lax.scan(frame_step, state, (mag2, idxs, active))
+        # unroll: the common quiet-path body is a ~100 kB history-row
+        # update; amortize the compiled while-loop overhead over 8 frames
+        state, _ = jax.lax.scan(frame_step, state, (mag2, idxs, active),
+                                unroll=8)
         return state
 
     return detect

@@ -4,21 +4,37 @@ The heaviest op in the burst path is the 801-tap anti-alias FIR that
 decimates each burst from the input rate to 250 kHz
 (burst_downmix.c:674-679; the dominant downmix FLOPs). The XLA version
 (downmix.py) materializes the coarse-rotated burst (a full-rate HBM
-round trip) and then runs a strided convolution. This kernel fuses the
-two: per output tile it DMAs the raw IQ slice into VMEM once, applies
-the exact integer-phase rotation there, and accumulates the polyphase
-products — the rotated signal never touches HBM.
+round trip plus cos/sin over every input sample) and then runs a strided
+convolution that XLA lowers poorly (1 output channel -> no MXU tiling).
 
-Polyphase layout: out[k] = sum_t h[t] x[kD+t]; with X[i, p] = x[iD + p]
-(i time, p phase in [0, D)) this is out[k] = sum_j X[k+j, :] . H[j, :]
-where H[j, p] = h[jD + p] — j_rows shifted row-wise products
-accumulated in VMEM.
+This kernel restructures the math so the rotation rides on the TAPS, not
+the signal. With the exact integer phase theta(n) = -2*pi*((k*n) mod F)/F
+and n = c*D + t (c output index, t tap index):
 
-The kernel is batch-native: the burst batch is the leading grid axis
-(grid = (B, n_tiles)), per-burst bin offsets ride in SMEM as a full
-(B,) array, and outputs live in ANY memory written by explicit DMA —
-the shapes stay legal under Mosaic's (8, 128) block-mapping rules,
-which a vmap-of-pallas transform would violate.
+    out[c] = e^{i*theta(c*D)} * sum_t (h[t] e^{i*theta(t)}) x[c*D + t]
+
+because (k*(c*D + t)) mod F == ((k*c*D mod F) + (k*t mod F)) mod F and
+e^{-2*pi*i*m/F} is exactly periodic in m. So:
+  - per burst, rotate the 801 taps (cheap, done in XLA outside the kernel),
+  - run a complex-tap polyphase FIR over the RAW IQ planes (this kernel),
+  - post-rotate the ~dec_cap outputs (cheap, XLA outside).
+Total transcendentals drop from O(l_ext) per burst to O(ntaps + dec_cap).
+
+Polyphase layout: with X[i, p] = x[iD + p] (i time row, p phase in
+[0, D) lane) and T[j, p] = h_rot[jD + p], the FIR is
+out[c] = sum_j X[c+j, :] . T[j, :] — j_rows row-shifted multiply-
+accumulates over a (tile + halo, LANES) VMEM window, reduced across
+lanes.
+
+Pipelining: grid = (B, n_tiles); every input/output rides a standard
+BlockSpec, so Pallas double-buffers the HBM<->VMEM copies across grid
+steps automatically (no manual DMA, no dynamic VMEM indexing — an
+earlier manual-DMA variant was 4x slower than XLA because Mosaic turned
+its dynamically indexed slot reads into per-iteration VMEM copies).
+Because blocks cannot overlap, the j_rows-1 halo rows that tile t
+borrows from tile t+1 travel as a small side array (built by XLA
+slicing, ~1% of the input) and are stitched onto the main block in a
+VMEM scratch before the shift-accumulate loop.
 
 Correctness is pinned against the XLA implementation in tests
 (interpret mode on CPU; compiled on TPU when available).
@@ -37,115 +53,95 @@ from jax.experimental.pallas import tpu as pltpu
 
 def make_rotate_decimate(l_ext: int, dec_cap: int, decim: int,
                          taps: np.ndarray, fft_size: int,
-                         tile: int = 512, interpret: bool = False):
+                         tile: int = 2048, interpret: bool = False):
     """Build rot_dec(x_re, x_im, k) -> (out_re, out_im).
 
     x_re/x_im: (l_ext,) or (B, l_ext) f32 raw burst IQ planes; k: i32
-    scalar / (B,) detector bin offset. Rotation:
+    scalar / (B,) detector bin offset. Output matches
+    rotate(x, k) -> 801-tap FIR -> decimate by `decim`, with rotation
     exp(-2*pi*i*(k*n mod F)/F) — the same exact integer phase as the
-    XLA path.
+    XLA path (see module docstring for the tap-rotation identity).
     """
     ntaps = len(taps)
     j_rows = math.ceil(ntaps / decim)             # 21 for 801/40
     h = np.zeros(j_rows * decim, np.float32)
     h[:ntaps] = taps
-    # Lane-pad the polyphase tap matrix decim -> LANES: Mosaic DMA slices
-    # must be 128-aligned on the lane dim. Zero taps kill the pad columns.
+    # Lane-pad decim -> LANES: Mosaic block slices must be 128-aligned
+    # on the lane dim. Zero taps kill the pad columns.
     LANES = 128 * math.ceil(decim / 128)
-    H = np.zeros((j_rows, LANES), np.float32)
-    H[:, :decim] = h.reshape(j_rows, decim)
 
     assert tile % 128 == 0, "tile must be a multiple of 128 lanes"
     n_tiles = math.ceil(dec_cap / tile)
-    # Sublane-align every DMA: in_rows (the HBM->VMEM copy extent) is
-    # rounded to the f32 sublane count (8), and pad_rows (the per-burst
-    # row stride) along with it, so row0 = b*pad_rows + t*tile is always
-    # 8-aligned. Mosaic's dynamic-slice DMA faults the TPU worker on
-    # misaligned sublane offsets (observed as UNAVAILABLE worker crashes
-    # through the axon runtime). The extra rows are zero padding; the
-    # accumulation loop only reads the first tile + j_rows of them.
-    in_rows = tile + 8 * math.ceil(j_rows / 8)
-    pad_rows = n_tiles * tile + (in_rows - tile)
+    halo = 8 * math.ceil(j_rows / 8)              # 24 rows for 21 taps-rows
+    main_rows = n_tiles * tile
     out_len = n_tiles * tile
+    trows = tile // 128                           # output rows per tile
 
-    def kernel(k_ref, h_ref, xr_hbm, xi_hbm, ore_hbm, oim_hbm,
-               sr, si, obr, obi, sems):
-        b = pl.program_id(0)
-        t = pl.program_id(1)
-        k = k_ref[b]
-        base_row = t * tile
-
-        row0 = b * pad_rows + base_row
-        cpr = pltpu.make_async_copy(
-            xr_hbm.at[pl.ds(row0, in_rows), :], sr, sems.at[0])
-        cpi = pltpu.make_async_copy(
-            xi_hbm.at[pl.ds(row0, in_rows), :], si, sems.at[1])
-        cpr.start()
-        cpi.start()
-        cpr.wait()
-        cpi.wait()
-
-        # exact integer phase for n = (base_row + i)*D + p
-        row = jax.lax.broadcasted_iota(jnp.int32, (in_rows, LANES), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (in_rows, LANES), 1)
-        n = (base_row + row) * decim + col
-        m = jax.lax.rem(k * jax.lax.rem(n, fft_size), fft_size)
-        ang = m.astype(jnp.float32) * np.float32(-2.0 * np.pi / fft_size)
-        c = jnp.cos(ang)
-        s = jnp.sin(ang)
-        xr = sr[...]
-        xi = si[...]
-        rr = xr * c - xi * s
-        ri = xr * s + xi * c
+    def kernel(tr_ref, ti_ref, xm_r, xm_i, xh_r, xh_i, our_ref, oui_ref,
+               st_r, st_i):
+        # stitch main block + halo rows into one contiguous window
+        st_r[:tile, :] = xm_r[0]
+        st_i[:tile, :] = xm_i[0]
+        st_r[tile:, :] = xh_r[0, 0]
+        st_i[tile:, :] = xh_i[0, 0]
 
         acc_r = jnp.zeros((tile, LANES), jnp.float32)
         acc_i = jnp.zeros((tile, LANES), jnp.float32)
         for j in range(j_rows):
-            hj = h_ref[j, :][None, :]
-            acc_r = acc_r + rr[j:j + tile, :] * hj
-            acc_i = acc_i + ri[j:j + tile, :] * hj
-        obr[...] = jnp.sum(acc_r, axis=1).reshape(tile // 128, 128)
-        obi[...] = jnp.sum(acc_i, axis=1).reshape(tile // 128, 128)
-
-        out_row0 = (b * out_len + base_row) // 128
-        cor = pltpu.make_async_copy(
-            obr, ore_hbm.at[pl.ds(out_row0, tile // 128), :], sems.at[2])
-        coi = pltpu.make_async_copy(
-            obi, oim_hbm.at[pl.ds(out_row0, tile // 128), :], sems.at[3])
-        cor.start()
-        coi.start()
-        cor.wait()
-        coi.wait()
+            trj = tr_ref[0, j, :][None, :]
+            tij = ti_ref[0, j, :][None, :]
+            xr = st_r[j:j + tile, :]
+            xi = st_i[j:j + tile, :]
+            # complex taps x complex signal (rotation rides on the taps)
+            acc_r = acc_r + (xr * trj - xi * tij)
+            acc_i = acc_i + (xr * tij + xi * trj)
+        our_ref[0] = jnp.sum(acc_r, axis=1).reshape(trows, 128)
+        oui_ref[0] = jnp.sum(acc_i, axis=1).reshape(trows, 128)
 
     def build_call(B: int):
         return pl.pallas_call(
             kernel,
             grid=(B, n_tiles),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),   # k (B,)
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # taps matrix
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, j_rows, LANES), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.VMEM),   # taps re
+                pl.BlockSpec((1, j_rows, LANES), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.VMEM),   # taps im
+                pl.BlockSpec((1, tile, LANES), lambda b, t: (b, t, 0),
+                             memory_space=pltpu.VMEM),   # main re
+                pl.BlockSpec((1, tile, LANES), lambda b, t: (b, t, 0),
+                             memory_space=pltpu.VMEM),   # main im
+                pl.BlockSpec((1, 1, halo, LANES),
+                             lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),   # halo re
+                pl.BlockSpec((1, 1, halo, LANES),
+                             lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),   # halo im
             ],
             out_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, trows, 128), lambda b, t: (b, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, trows, 128), lambda b, t: (b, t, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((B * out_len // 128, 128), jnp.float32),
-                jax.ShapeDtypeStruct((B * out_len // 128, 128), jnp.float32),
+                jax.ShapeDtypeStruct((B, out_len // 128, 128), jnp.float32),
+                jax.ShapeDtypeStruct((B, out_len // 128, 128), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((in_rows, LANES), jnp.float32),
-                pltpu.VMEM((in_rows, LANES), jnp.float32),
-                pltpu.VMEM((tile // 128, 128), jnp.float32),
-                pltpu.VMEM((tile // 128, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.VMEM((tile + halo, LANES), jnp.float32),
+                pltpu.VMEM((tile + halo, LANES), jnp.float32),
             ],
             interpret=interpret,
         )
 
+    pad_rows = main_rows + halo
     pad_flat = pad_rows * decim
+    iota_tap = np.arange(j_rows * decim, dtype=np.int32)
+    # (c*D) mod F precomputed in i64 so k*m stays within i32 at runtime
+    iota_out_m = ((np.arange(out_len, dtype=np.int64) * decim)
+                  % fft_size).astype(np.int32)
+    h_row = h  # (j_rows*decim,)
 
     def rot_dec(x_re, x_im, k):
         batched = x_re.ndim == 2
@@ -153,20 +149,49 @@ def make_rotate_decimate(l_ext: int, dec_cap: int, decim: int,
             x_re, x_im = x_re[None], x_im[None]
             k = jnp.reshape(k, (1,))
         B = x_re.shape[0]
+        k = k.astype(jnp.int32)
+
+        # --- rotated taps, (B, j_rows, LANES) f32 x2 (XLA, cheap) ---
+        m2 = jnp.mod(k[:, None] * (iota_tap % fft_size), fft_size)
+        ang2 = m2.astype(jnp.float32) * np.float32(-2.0 * np.pi / fft_size)
+        tr = (h_row[None, :] * jnp.cos(ang2)).reshape(B, j_rows, decim)
+        ti = (h_row[None, :] * jnp.sin(ang2)).reshape(B, j_rows, decim)
+        if LANES != decim:
+            lp = ((0, 0), (0, 0), (0, LANES - decim))
+            tr = jnp.pad(tr, lp)
+            ti = jnp.pad(ti, lp)
+
+        # --- input planes: polyphase rows, lane-padded, + halo windows ---
         pad = max(pad_flat - l_ext, 0)
         xr = jnp.pad(x_re, ((0, 0), (0, pad)))[:, :pad_flat]
         xi = jnp.pad(x_im, ((0, 0), (0, pad)))[:, :pad_flat]
-        xr = xr.reshape(B * pad_rows, decim)
-        xi = xi.reshape(B * pad_rows, decim)
+        xr = xr.reshape(B, pad_rows, decim)
+        xi = xi.reshape(B, pad_rows, decim)
         if LANES != decim:
-            lp = ((0, 0), (0, LANES - decim))
+            lp = ((0, 0), (0, 0), (0, LANES - decim))
             xr = jnp.pad(xr, lp)
             xi = jnp.pad(xi, lp)
-        o_re, o_im = build_call(B)(k.astype(jnp.int32), H, xr, xi)
-        o_re = o_re.reshape(B, out_len)[:, :dec_cap]
-        o_im = o_im.reshape(B, out_len)[:, :dec_cap]
+        xm_r, xm_i = xr[:, :main_rows], xi[:, :main_rows]
+        xh_r = jnp.stack(
+            [xr[:, (t + 1) * tile:(t + 1) * tile + halo]
+             for t in range(n_tiles)], axis=1)
+        xh_i = jnp.stack(
+            [xi[:, (t + 1) * tile:(t + 1) * tile + halo]
+             for t in range(n_tiles)], axis=1)
+
+        o_re, o_im = build_call(B)(tr, ti, xm_r, xm_i, xh_r, xh_i)
+        o_re = o_re.reshape(B, out_len)
+        o_im = o_im.reshape(B, out_len)
+
+        # --- post-rotation of the decimated outputs (XLA, cheap) ---
+        m1 = jnp.mod(k[:, None] * iota_out_m, fft_size)
+        ang1 = m1.astype(jnp.float32) * np.float32(-2.0 * np.pi / fft_size)
+        c1 = jnp.cos(ang1)
+        s1 = jnp.sin(ang1)
+        f_re = (o_re * c1 - o_im * s1)[:, :dec_cap]
+        f_im = (o_re * s1 + o_im * c1)[:, :dec_cap]
         if not batched:
-            o_re, o_im = o_re[0], o_im[0]
-        return o_re, o_im
+            f_re, f_im = f_re[0], f_im[0]
+        return f_re, f_im
 
     return rot_dec
