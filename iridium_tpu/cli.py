@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 from .config import DetectorConfig, DownmixConfig
-from .decode import frame as frame_decode_mod
+from .decode import batch as batch_mod
 from .decode import ida as ida_mod
 from .output.raw import RawPrinter
 
@@ -271,17 +271,26 @@ def main(argv=None) -> int:
         jax.profiler.start_trace(args.profile)
 
     n_gsmtap = 0
-    for f in pipe.run_file(args.file, args.format):
-        ida_burst = None
-        if need_ida:
-            ida_burst = ida_mod.ida_decode(f)
-        if args.parsed and ida_burst is not None:
-            emit(printer.format_ida(ida_burst))
+    need_frame = web is not None or doppler is not None
+    from .io import native
+    bs = pipe.p.block_samples
+    for frames in pipe.run_blocks(native.read_blocks(args.file, bs,
+                                                     args.format)):
+        # Block-vectorized protocol decode: one decode_block call covers
+        # every frame's BCH/LCW/IDA math (matches the throughput role of
+        # frame_decode.c:414-598 / ida_decode.c:543-664; the scalar
+        # modules remain the parity oracle, tests/test_decode.py).
+        if need_ida or need_frame:
+            results = batch_mod.decode_block(
+                frames, want_frame=need_frame, want_ida=need_ida)
         else:
-            emit(printer.format(f))
+            results = [(None, None)] * len(frames)
+        for f, (decoded, ida_burst) in zip(frames, results):
+            if args.parsed and ida_burst is not None:
+                emit(printer.format_ida(ida_burst))
+            else:
+                emit(printer.format(f))
 
-        if web is not None or doppler is not None:
-            decoded = frame_decode_mod.frame_decode(f)
             if decoded is not None:
                 kind, d = decoded
                 if kind == "IRA":
@@ -293,26 +302,26 @@ def main(argv=None) -> int:
                 elif kind == "IBC" and web is not None:
                     web.add_sat(d, f["timestamp_ns"])
 
-        if gsmtap is not None and ida_burst is not None:
-            def _send(data, ts, freq, direction, mag):
-                nonlocal n_gsmtap
-                gsmtap.send(data, freq, direction, mag)
-                n_gsmtap += 1
-            reasm_gsmtap.push(ida_burst, _send)
-            reasm_gsmtap.flush(f["timestamp_ns"])
-        if acars is not None and ida_burst is not None:
-            reasm_acars.push(
-                ida_burst,
-                lambda data, ts, freq, d, m: acars.process(
-                    data, ts, freq, d, m))
-            reasm_acars.flush(f["timestamp_ns"])
-        if reasm_mtpos is not None:
-            # MT position layer on the map (main.c:365-369 → mtpos_ida_cb,
-            # web_map.c:280-361)
-            if ida_burst is not None:
-                reasm_mtpos.push(ida_burst, web.mtpos_ida_cb)
-            reasm_mtpos.flush(f["timestamp_ns"])
-        stats_line()
+            if gsmtap is not None and ida_burst is not None:
+                def _send(data, ts, freq, direction, mag):
+                    nonlocal n_gsmtap
+                    gsmtap.send(data, freq, direction, mag)
+                    n_gsmtap += 1
+                reasm_gsmtap.push(ida_burst, _send)
+                reasm_gsmtap.flush(f["timestamp_ns"])
+            if acars is not None and ida_burst is not None:
+                reasm_acars.push(
+                    ida_burst,
+                    lambda data, ts, freq, d, m: acars.process(
+                        data, ts, freq, d, m))
+                reasm_acars.flush(f["timestamp_ns"])
+            if reasm_mtpos is not None:
+                # MT position layer on the map (main.c:365-369 →
+                # mtpos_ida_cb, web_map.c:280-361)
+                if ida_burst is not None:
+                    reasm_mtpos.push(ida_burst, web.mtpos_ida_cb)
+                reasm_mtpos.flush(f["timestamp_ns"])
+            stats_line()
 
     if args.profile:
         jax.profiler.stop_trace()
@@ -329,9 +338,10 @@ def main(argv=None) -> int:
               f"burst_batches={t['n_burst_batches']}; "
               f"trace written to {args.profile}", file=sys.stderr)
 
-    if args.verbose or True:
-        print(f"burst_detect: tagged {pipe.stats.n_detected} bursts total",
-              file=sys.stderr)
+    # Shutdown summary prints unconditionally, like the reference
+    # (burst_detect.c:350-351).
+    print(f"burst_detect: tagged {pipe.stats.n_detected} bursts total",
+          file=sys.stderr)
     if gsmtap is not None:
         print(f"gsmtap: sent {n_gsmtap} frames", file=sys.stderr)
     if acars is not None:

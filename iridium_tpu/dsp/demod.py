@@ -85,11 +85,41 @@ def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
     dqpsk_map = DQPSK_MAP
     iota_s = np.arange(S, dtype=np.int32)
 
-    def gardner(x, n_samp):
+    def _pll_update(phi, total, sym, v):
+        """One PLL step (qpsk_demod.c:145-195) on the in-flight symbol."""
+        out = sym * phi
+        re, im = out.real, out.imag
+        s = np.float32(SQRT1_2)
+        xh = jnp.where(
+            (re >= 0) & (im >= 0), jax.lax.complex(s, s),
+            jnp.where(re >= 0, jax.lax.complex(s, -s),
+                      jnp.where(im < 0, jax.lax.complex(-s, -s),
+                                jax.lax.complex(-s, s))))
+        er = jnp.conj(xh) * out
+        er_mag = jnp.abs(er)
+        skip = er_mag < 1e-10
+        ang = jnp.arctan2(er.imag, er.real)
+        sc = PLL_ALPHA * ang
+        corr = jax.lax.complex(jnp.cos(sc), jnp.sin(sc))
+        phi2 = jnp.conj(corr) * phi
+        pm = jnp.abs(phi2)
+        phi2 = jnp.where(pm > 0, phi2 / pm, phi2)
+        upd = v & ~skip
+        return (jnp.where(upd, phi2, phi),
+                jnp.where(upd, total + sc, total), out)
+
+    # Gardner + PLL run as ONE fused scan: the PLL consumes symbols in
+    # production order, so fusing its update into the Gardner body is
+    # mathematically identical to the reference's two sequential loops
+    # (decimate_gardner then qpsk_pll, qpsk_demod.c:85-195) but halves
+    # the number of sequential scan steps — the dominant fixed cost of a
+    # burst batch on TPU is these tiny-vector sequential steps, not FLOPs.
+
+    def gardner_pll(x, n_samp):
         nf = n_samp.astype(jnp.float32)
 
         def body(carry, t):
-            pos, tmo, prev, done = carry
+            pos, tmo, prev, done, phi, total = carry
             active = (~done) & (pos < nf - 3)
             done = done | ~active
             on = _cubic4(x, pos, n_samp)
@@ -101,18 +131,20 @@ def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
             tmo2 = jnp.where(do_mid, tmo + GARDNER_KI * err, tmo)
             adjust = jnp.clip(GARDNER_KP * err + tmo2, -0.5, 0.5)
             pos2 = jnp.where(do_mid, pos + adjust, pos)
+            phi2, total2, out = _pll_update(phi, total, on, active)
             new = (jnp.where(active, pos2 + sps, pos),
                    jnp.where(active, tmo2, tmo),
                    jnp.where(active, on, prev),
-                   done)
-            return new, (on, active)
+                   done, phi2, total2)
+            return new, (out, active)
 
-        init = (np.float32(0.0), np.float32(0.0),
-                np.complex64(0.0), np.bool_(False))
+        init = (np.float32(0.0), np.float32(0.0), np.complex64(0.0),
+                np.bool_(False), np.complex64(1.0), np.float32(0.0))
         # unroll: the per-symbol body is a handful of VPU ops; unrolling
         # amortizes the compiled while-loop overhead over 8 symbols
-        _, (syms, valid) = jax.lax.scan(body, init, iota_s, unroll=8)
-        return syms, valid
+        (_, _, _, _, _, total), (out, valid) = jax.lax.scan(
+            body, init, iota_s, unroll=8)
+        return out, valid, total
 
     def simple(x, n_samp):
         isps = int(round(sps))
@@ -120,30 +152,12 @@ def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
         valid = idx < n_samp
         return x[jnp.clip(idx, 0, x.shape[0] - 1)], valid
 
-    def pll(syms, valid):
+    def pll_only(syms, valid):
         def body(carry, inp):
             phi, total = carry
             sym, v = inp
-            out = sym * phi
-            re, im = out.real, out.imag
-            s = np.float32(SQRT1_2)
-            xh = jnp.where(
-                (re >= 0) & (im >= 0), jax.lax.complex(s, s),
-                jnp.where(re >= 0, jax.lax.complex(s, -s),
-                          jnp.where(im < 0, jax.lax.complex(-s, -s),
-                                    jax.lax.complex(-s, s))))
-            er = jnp.conj(xh) * out
-            er_mag = jnp.abs(er)
-            skip = er_mag < 1e-10
-            ang = jnp.arctan2(er.imag, er.real)
-            sc = PLL_ALPHA * ang
-            corr = jax.lax.complex(jnp.cos(sc), jnp.sin(sc))
-            phi2 = jnp.conj(corr) * phi
-            pm = jnp.abs(phi2)
-            phi2 = jnp.where(pm > 0, phi2 / pm, phi2)
-            upd = v & ~skip
-            return (jnp.where(upd, phi2, phi),
-                    jnp.where(upd, total + sc, total)), out
+            phi2, total2, out = _pll_update(phi, total, sym, v)
+            return (phi2, total2), out
 
         init = (np.complex64(1.0), np.float32(0.0))
         (_, total), out = jax.lax.scan(body, init, (syms, valid), unroll=8)
@@ -151,11 +165,11 @@ def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
 
     def demod(x, n_samples, direction):
         if use_gardner:
-            syms, valid = gardner(x, n_samples)
+            pll_out, valid, total_phase = gardner_pll(x, n_samples)
         else:
             syms, valid = simple(x, n_samples)
+            pll_out, total_phase = pll_only(syms, valid)
         n_sym = jnp.sum(valid.astype(jnp.int32))
-        pll_out, total_phase = pll(syms, valid)
 
         # --- demod_qpsk: hard decisions, EOF detect, confidence ---
         re, im = pll_out.real, pll_out.imag

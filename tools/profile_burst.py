@@ -108,12 +108,6 @@ def main():
           f"({t_dm / B * 1e6:7.1f} us/burst)")
 
     # rotate+decimate alone (the 801-tap FIR stage)
-    rd_fn = jax.jit(lambda s, a, c: jax.vmap(
-        lambda st: jax.lax.dynamic_slice(s, (st,), (l_small,)))(a))
-    dm2 = downmix.make_downmix_one(
-        p, dmp, l_small, dmp.max_frame_samples, dec_cap=dec_cap_small,
-        use_pallas=args.pallas)
-
     def rot_only(s, a, c):
         xs = jax.vmap(
             lambda st: jax.lax.dynamic_slice(s, (st,), (l_small,)))(a)
