@@ -361,7 +361,7 @@ class ShardedPipeline:
             self.timing["burst_fetch_wait"] += time.perf_counter() - t0
             self.timing["n_burst_batches"] += 1
             pf2 = pf.reshape(n * DB, pf.shape[-1])
-            u = pl_mod.unpack_outputs(pf2)
+            u = pl_mod.unpack_outputs(pf2, dmp.max_symbols)
             flat_sel = sel.reshape(-1)
             valid = flat_sel >= 0
             self.stats.n_handled += int((u["dm_ok"] & valid).sum())

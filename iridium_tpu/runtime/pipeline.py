@@ -47,37 +47,101 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pack_outputs(dm, dd):
-    """Pack everything the host needs into ONE f32 matrix so a burst batch
-    costs a single download RPC (~40 ms fixed latency through the axon
-    tunnel) instead of twelve; integer fields ride as bitcast f32 columns.
-    Layout (width 4S+11): bits(2S) | llr(2S) | fine | level | total_phase
-    | uw_corr | 7 bitcast i32 (dm_ok, dd_ok, n_symbols, confidence,
-    direction, start_dec, n_samples). Shared by the single-chip and
-    sharded burst processors; `unpack_outputs` is the host-side inverse."""
+# The packed output row. The host<->device link in this environment is a
+# high-latency, low-bandwidth tunnel (~65 ms/RPC, ~45 MB/s measured by
+# tools/tunnel_probe.py), so every byte a burst sends to the host is on
+# the critical path. Layout (all int32 words):
+#   [bits: ceil(2S/32) words, bit j of word w = bit 32w+j]
+#   [llr (optional): 1 word bitcast-f32 scale, then ceil(2S/2) words of
+#    two u16 llr quanta each (lo = element 2i); llr = q * scale / 65535]
+#   [4 words bitcast-f32: fine_offset, level, total_phase, uw_corr]
+#   [7 words i32: dm_ok, dd_ok, n_symbols, confidence, direction,
+#    start_dec, n_samples]
+# vs the round-2 all-f32 layout this is 6.9x smaller without llr and
+# 1.9x smaller with llr (u16 quantization; step ~1.5e-5 of the per-burst
+# max, the same order as cross-implementation FP divergence, so Chase
+# flip ordering is preserved — tests/test_differential_matrix.py).
+_META_WORDS = 11
+
+_BIT_W = (np.uint32(1) << np.arange(32, dtype=np.uint32)).astype(np.int32)
+
+
+def packed_width(max_symbols: int, want_llr: bool) -> int:
+    s2 = 2 * max_symbols
+    nw = (s2 + 31) // 32
+    nl = 1 + (s2 + 1) // 2 if want_llr else 0
+    return nw + nl + _META_WORDS
+
+
+def pack_outputs(dm, dd, want_llr: bool = True, s2_pad: int | None = None):
+    """Pack one burst batch's host-bound fields into a (B, W) int32
+    matrix (see layout above). Shared by the single-chip and sharded
+    burst processors; `unpack_outputs` is the host-side inverse.
+    `s2_pad` pads the bits/llr regions as if the batch had that many
+    2*max_symbols columns, so processors with different symbol caps
+    produce rows of one common width."""
+    B, S2 = dd.bits.shape
+    if s2_pad is None:
+        s2_pad = S2
+    assert s2_pad >= S2
+    NW = (s2_pad + 31) // 32
+    bits = jnp.pad(dd.bits.astype(jnp.int32),
+                   ((0, 0), (0, NW * 32 - S2)))
+    # disjoint powers of two: the wrapping int32 sum is bit-exact
+    words = jnp.sum(bits.reshape(B, NW, 32) * _BIT_W[None, None, :],
+                    axis=-1, dtype=jnp.int32)
+    cols = [words]
+    if want_llr:
+        NL = (s2_pad + 1) // 2
+        scale = jnp.max(dd.llr, axis=1)
+        denom = jnp.where(scale > 0, scale, 1.0)
+        q = jnp.clip(jnp.round(dd.llr * (65535.0 / denom[:, None])),
+                     0, 65535).astype(jnp.int32)
+        q = jnp.pad(q, ((0, 0), (0, NL * 2 - S2))).reshape(B, NL, 2)
+        lw = q[:, :, 0] | (q[:, :, 1] << 16)
+        cols += [jax.lax.bitcast_convert_type(scale, jnp.int32)[:, None],
+                 lw]
+    floats = jnp.stack([dm.fine_offset, dd.level,
+                        dd.total_phase, dm.uw_corr], axis=1)
     ints = jnp.stack(
         [dm.ok.astype(jnp.int32), dd.ok.astype(jnp.int32),
          dd.n_symbols, dd.confidence, dd.direction,
          dm.start_dec, dm.n_samples], axis=1)
-    return jnp.concatenate(
-        [dd.bits.astype(jnp.float32), dd.llr,
-         dm.fine_offset[:, None], dd.level[:, None],
-         dd.total_phase[:, None], dm.uw_corr[:, None],
-         jax.lax.bitcast_convert_type(ints, jnp.float32)], axis=1)
+    cols += [jax.lax.bitcast_convert_type(floats, jnp.int32), ints]
+    return jnp.concatenate(cols, axis=1)
 
 
-def unpack_outputs(pf: np.ndarray) -> dict:
-    """Host-side inverse of pack_outputs on a fetched (B, 4S+11) matrix."""
-    pi = np.ascontiguousarray(pf[:, -7:]).view(np.int32)
-    S2 = pf.shape[1] - 11
+def unpack_outputs(pi: np.ndarray, max_symbols: int,
+                   want_llr: bool = True) -> dict:
+    """Host-side inverse of pack_outputs on a fetched (B, W) i32 matrix."""
+    pi = np.ascontiguousarray(pi)
+    B = pi.shape[0]
+    S2 = 2 * max_symbols
+    NW = (S2 + 31) // 32
+    pu = pi.view(np.uint32)
+    bw = pu[:, :NW]
+    bits = ((bw[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1) \
+        .reshape(B, NW * 32)[:, :S2].astype(np.int32)
+    off = NW
+    if want_llr:
+        NL = (S2 + 1) // 2
+        scale = np.ascontiguousarray(pi[:, off]).view(np.float32)
+        lw = pu[:, off + 1:off + 1 + NL]
+        q = np.stack([lw & 0xFFFF, lw >> 16], axis=-1).reshape(B, NL * 2)
+        llr = q[:, :S2].astype(np.float32) * (scale[:, None]
+                                              / np.float32(65535.0))
+        off += 1 + NL
+    else:
+        llr = np.zeros((B, S2), np.float32)
+    fl = np.ascontiguousarray(pi[:, off:off + 4]).view(np.float32)
+    ii = pi[:, off + 4:off + _META_WORDS]
     return dict(
-        dm_ok=pi[:, 0].astype(bool), dd_ok=pi[:, 1].astype(bool),
-        n_sym=pi[:, 2], conf=pi[:, 3], direc=pi[:, 4],
-        sdec=pi[:, 5].astype(np.int64),
-        bits=pf[:, :S2 // 2].astype(np.int32),
-        llr=pf[:, S2 // 2:S2],
-        fine=pf[:, S2].astype(np.float64), level=pf[:, S2 + 1],
-        total=pf[:, S2 + 2].astype(np.float64))
+        dm_ok=ii[:, 0].astype(bool), dd_ok=ii[:, 1].astype(bool),
+        n_sym=ii[:, 2], conf=ii[:, 3], direc=ii[:, 4],
+        sdec=ii[:, 5].astype(np.int64),
+        bits=bits, llr=llr,
+        fine=fl[:, 0].astype(np.float64), level=fl[:, 1],
+        total=fl[:, 2].astype(np.float64))
 
 
 def build_frame(p, dmp, in_ntaps: int, start_time_ns: int,
@@ -174,11 +238,14 @@ class Pipeline:
     def __init__(self,
                  det_cfg: DetectorConfig | None = None,
                  dm_cfg: DownmixConfig | None = None,
-                 burst_batch: int = 16,
+                 burst_batch: int = 128,
                  use_gardner: bool = True,
                  start_time_ns: int | None = None,
                  save_bursts_dir: str | None = None,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None,
+                 fir_mode: str = "mxu",
+                 want_llr: bool = True,
+                 agg_blocks: int = 4):
         det_cfg = det_cfg or DetectorConfig()
         dm_cfg = dm_cfg or DownmixConfig()
         if use_pallas is None:
@@ -186,10 +253,24 @@ class Pipeline:
             # crashes the v5e worker through this environment's TPU
             # runtime (UNAVAILABLE at the first burst batch; A/B-isolated
             # against the XLA path, which runs the same capture cleanly).
-            # Opt in with use_pallas=True; the XLA path remains the
-            # verification reference (cf. --no-simd, ARCHITECTURE.md:638).
+            # The MXU polyphase-matmul path (fir_mode="mxu") delivers the
+            # kernel's intent in pure XLA; the strided-conv path
+            # (fir_mode="conv") remains the verification reference
+            # (cf. --no-simd, ARCHITECTURE.md:638).
             use_pallas = False
         self.use_pallas = use_pallas
+        self.fir_mode = fir_mode
+        # want_llr: whether packed rows carry per-bit LLRs. The RAW-line
+        # output (the reference's headline benchmark mode,
+        # README.md:215-224) does not need them; the protocol decoders
+        # (--parsed/--gsmtap/--acars/web) do. Dropping them shrinks the
+        # per-burst host transfer ~3.6x through the tunnel.
+        self.want_llr = want_llr
+        # agg_blocks: how many blocks share one gone-table fetch RPC and
+        # one packed-row fetch RPC (the tunnel's ~65 ms latency is the
+        # single-chip pipeline's dominant cost; amortize it). Raises
+        # output latency by agg_blocks * block seconds — keep 1 for live.
+        self.agg_blocks = max(agg_blocks, 1)
         self.p: DetectorParams = det_cfg.derived()
         self.dmp: DownmixParams = dm_cfg.derived(self.p)
         p, dmp = self.p, self.dmp
@@ -207,8 +288,10 @@ class Pipeline:
 
         self._build_step()
         self._build_burst_processor()
-        # variadic packed-output concat (one compile per arity, cached)
+        # variadic packed-output concat / gone-table stack (one compile
+        # per arity+shape, cached)
         self._concat_fn = jax.jit(lambda *xs: jnp.concatenate(xs, axis=0))
+        self._stack_fn = jax.jit(lambda *xs: jnp.stack(xs))
         self._lock = threading.Lock()
         self.reset()
         self.start_time_ns = start_time_ns
@@ -296,15 +379,18 @@ class Pipeline:
         dm_one = downmix.make_downmix_one(p, dmp, l_win,
                                           dmp.max_frame_samples,
                                           dec_cap=dec_cap,
-                                          use_pallas=self.use_pallas)
+                                          use_pallas=self.use_pallas,
+                                          fir_mode=self.fir_mode)
         demod_one = demod_mod.make_demod(dmp.max_symbols,
                                          dmp.samples_per_symbol,
                                          self.use_gardner)
+        want_llr = self.want_llr
 
         def process(stream, starts, ext_lens, bins):
             dm = dm_one.batch(stream, starts, ext_lens, bins)
             dd = jax.vmap(demod_one)(dm.samples, dm.n_samples, dm.direction)
-            packed = pack_outputs(dm, dd)
+            packed = pack_outputs(dm, dd, want_llr=want_llr,
+                                  s2_pad=2 * dmp.max_symbols)
             dm = dm._replace(ok=dm.ok.astype(jnp.int32))
             dd = dd._replace(ok=dd.ok.astype(jnp.int32))
             return dm, dd, packed
@@ -313,14 +399,21 @@ class Pipeline:
 
     # ---- block processing ----
     #
-    # Two-phase, software-pipelined: _dispatch_step enqueues block k's
-    # fused device step and returns immediately with device handles;
-    # _finish_block then blocks on k's tiny packed table and runs the
-    # burst batches. The driver loop dispatches step k+1 BEFORE finishing
-    # block k, so the ~40 ms fetch RPC and all host-side formatting hide
-    # under device compute (the device queue never drains). This is the
-    # TPU-native analogue of the reference's detector/downmix/demod
-    # thread overlap (main.c:666-734).
+    # Two-phase, software-pipelined, and GROUP-AGGREGATED:
+    # _dispatch_step enqueues block k's fused device step and returns
+    # immediately with device handles; groups of `agg_blocks` blocks are
+    # then finished together — ONE stacked gone-table fetch RPC, one
+    # back-to-back dispatch of every group burst batch, and ONE
+    # concatenated packed-row fetch RPC for the whole group. The driver
+    # keeps dispatching later blocks' steps while a group's two fetches
+    # are in flight, so the device queue never drains. Rationale: device
+    # compute is ~1 ms/block (tools/microbench.py) while a single fetch
+    # RPC through this environment's TPU tunnel costs ~65 ms
+    # (tools/tunnel_probe.py) — the tunnel, not the TPU, sets the block
+    # rate, so RPC count per block is THE number to minimize. This is
+    # the TPU-native analogue of the reference's detector/downmix/demod
+    # thread overlap (main.c:666-734), with the queue depth re-tuned for
+    # a high-latency device link.
 
     def _dispatch_step(self, samples, n_valid: int):
         p = self.p
@@ -350,32 +443,85 @@ class Pipeline:
         self.base_index += p.block_samples
         return ctx
 
-    def _finish_block(self, ctx) -> list[dict]:
-        stream, packed, base_index, redo = ctx
+    def _finish_group(self, ctxs) -> list[list[dict]]:
+        """Finish `agg_blocks` dispatched blocks with two fetch RPCs
+        total: one stacked gone-table fetch, one concatenated packed-row
+        fetch. Returns the per-block frame lists, in block order."""
         t0 = time.perf_counter()
+
+        def fetch_tables():
+            if len(ctxs) == 1:
+                return np.asarray(ctxs[0][1])[None]
+            return np.asarray(self._stack_fn(*[c[1] for c in ctxs]))
+
         try:
-            pk = np.asarray(packed)
+            pk = fetch_tables()
         except jax.errors.JaxRuntimeError:   # pragma: no cover
-            # transient tunnel fault: re-issue the step from its inputs
-            _, stream, _, packed = _retry(redo, tag="step redo")
-            pk = np.asarray(packed)
+            # transient tunnel fault: re-issue the steps from their inputs
+            redone = []
+            for ctx in ctxs:
+                _, stream2, _, packed2 = _retry(ctx[3], tag="step redo")
+                redone.append((stream2, packed2, ctx[2], ctx[3]))
+            ctxs = redone
+            pk = fetch_tables()
         with self._lock:
             self.timing["gone_fetch_wait"] += time.perf_counter() - t0
-        g_count = int(pk[0, 0])
-        n_tagged = int(pk[0, 1])
+            self.timing["n_groups"] += 1
+
+        jobs = []
+        for bi, ctx in enumerate(ctxs):
+            stream, _, base_index, _ = ctx
+            tab = pk[bi]
+            g_count = int(tab[0, 0])
+            n_tagged = int(tab[0, 1])
+            with self._lock:
+                # order-independent accounting (groups may finish
+                # concurrently): n_tagged is monotonic; dropped = tagged
+                # - emitted-to-table
+                self.prev_tagged = max(self.prev_tagged, n_tagged)
+                self.stats.n_detected += g_count
+                self.stats.n_dropped = (self.prev_tagged
+                                        - self.stats.n_detected)
+            if g_count <= 0:
+                continue
+            rows = tab[1:1 + g_count]
+            g = dict(id=rows[:, 0], start=rows[:, 1], stop=rows[:, 2],
+                     bin=rows[:, 3], mag=rows[:, 4].view(np.float32),
+                     noise=rows[:, 5].view(np.float32))
+            jobs += self._route_bursts(bi, stream, g, base_index)
+
+        out: list[list[dict]] = [[] for _ in ctxs]
+        if not jobs:
+            return out
+
+        def dispatch_all():
+            outs = [proc(stream, jnp.asarray(starts), jnp.asarray(lens),
+                         jnp.asarray(bins))
+                    for (_, _, _, _, stream, proc, starts, lens, bins)
+                    in jobs]
+            pf_all = outs[0][2] if len(outs) == 1 \
+                else self._concat_fn(*[o[2] for o in outs])
+            return outs, np.asarray(pf_all)
+
+        t0 = time.perf_counter()
+        outs, pf_all = _retry(dispatch_all, tag="burst batches")
         with self._lock:
-            # order-independent accounting (finishes may run concurrently):
-            # n_tagged is monotonic; dropped = tagged - emitted-to-table
-            self.prev_tagged = max(self.prev_tagged, n_tagged)
-            self.stats.n_detected += g_count
-            self.stats.n_dropped = self.prev_tagged - self.stats.n_detected
-        if g_count <= 0:
-            return []
-        rows = pk[1:1 + g_count]
-        g = dict(id=rows[:, 0], start=rows[:, 1], stop=rows[:, 2],
-                 bin=rows[:, 3], mag=rows[:, 4].view(np.float32),
-                 noise=rows[:, 5].view(np.float32))
-        return self._demod_bursts(stream, g, base_index)
+            self.timing["burst_fetch_wait"] += time.perf_counter() - t0
+            self.timing["n_burst_batches"] += len(jobs)
+
+        B = self.burst_batch
+        for row, (job, (dm, dd, _)) in enumerate(zip(jobs, outs)):
+            bi, g, abs_start_cl, sel = job[0], job[1], job[2], job[3]
+            base_index = ctxs[bi][2]
+            out[bi] += self._format_batch(
+                pf_all[row * B:(row + 1) * B], dm, dd, g, sel,
+                base_index, abs_start_cl)
+        for frames in out:
+            frames.sort(key=lambda f: f["id"])
+        return out
+
+    def _finish_block(self, ctx) -> list[dict]:
+        return self._finish_group([ctx])[0]
 
     def process_block(self, samples, n_valid: int) -> list[dict]:
         """Feed one block (padded to block_samples); returns demod frames."""
@@ -386,45 +532,58 @@ class Pipeline:
         yields the demod-frame list per block, in order.
 
         Step dispatches stay on the calling thread (the detector state
-        chains block to block); the fetch+burst-processing finishes run on
-        a small thread pool so their ~40 ms tunnel RPCs overlap each other
-        and the device compute. `depth` bounds in-flight blocks (device
-        memory: one stream buffer each)."""
+        chains block to block); groups of `agg_blocks` blocks are
+        finished on a small thread pool so their two ~65 ms tunnel RPCs
+        overlap other groups' RPCs and the device compute. `depth`
+        bounds in-flight groups (device memory: one stream buffer per
+        block)."""
         import concurrent.futures as cf
         from collections import deque
 
+        agg = self.agg_blocks
         with cf.ThreadPoolExecutor(max_workers=depth) as pool:
             fut = deque()
+            pend: list = []
 
-            def take() -> list[dict]:
-                """Salvage policy: a block whose finish still fails after
-                _finish_block's internal redo loses only that block's
+            def flush():
+                if pend:
+                    fut.append((pool.submit(self._finish_group, list(pend)),
+                                len(pend)))
+                    pend.clear()
+
+            def take():
+                """Salvage policy: a group whose finish still fails after
+                _finish_group's internal redo loses only that group's
                 frames (counted in n_faults), mirroring the reference's
                 drop-on-overload semantics. DeviceLostError is not
                 salvageable (all in-flight buffers are gone): cancel the
                 rest and escalate to the caller."""
+                f, n = fut.popleft()
                 try:
-                    return fut.popleft().result()
+                    return f.result()
                 except DeviceLostError:
-                    for f in fut:
-                        f.cancel()
+                    for g, _ in fut:
+                        g.cancel()
                     raise
                 except jax.errors.JaxRuntimeError as e:  # pragma: no cover
                     with self._lock:
                         self.stats.n_faults += 1
-                    print("warning: lost one block to a TPU fault: "
+                    print("warning: lost one block group to a TPU fault: "
                           f"{str(e).splitlines()[-1][:120]}", file=sys.stderr)
-                    return []
+                    return [[] for _ in range(n)]
 
             for samples, n_valid in blocks:
-                ctx = self._dispatch_step(samples, n_valid)
-                fut.append(pool.submit(self._finish_block, ctx))
+                pend.append(self._dispatch_step(samples, n_valid))
+                if len(pend) >= agg:
+                    flush()
                 with self._lock:
-                    self.stats.q_peak = max(self.stats.q_peak, len(fut))
+                    self.stats.q_peak = max(self.stats.q_peak,
+                                            len(fut) * agg + len(pend))
                 while len(fut) > depth:
-                    yield take()
+                    yield from take()
+            flush()
             while fut:
-                yield take()
+                yield from take()
 
     def take_q_peak(self) -> int:
         """Read-and-reset the peak in-flight depth (q_max semantics,
@@ -434,10 +593,10 @@ class Pipeline:
             self.stats.q_peak = 0
         return v
 
-    def _demod_bursts(self, stream, g, base_index: int) -> list[dict]:
-        p, dmp = self.p, self.dmp
-        F = p.fft_size
-        n = len(g["id"])
+    def _route_bursts(self, bi: int, stream, g, base_index: int) -> list:
+        """Build the burst-batch job records for one block (no device
+        work; dispatch happens group-wide in _finish_group)."""
+        p = self.p
         # Absolute sample indices & ring-buffer clamp at stream start
         abs_start = g["start"].astype(np.int64) + base_index
         abs_start_cl = np.maximum(abs_start, 0)
@@ -455,11 +614,6 @@ class Pipeline:
         buckets = [(np.nonzero(small_sel)[0], self.process_small),
                    (np.nonzero(~small_sel)[0], self.process_fn)]
 
-        # Build all batch jobs for the block, dispatch them back-to-back,
-        # then fetch ONE device-concatenated packed matrix. Through the
-        # ~40 ms-latency tunnel this replaces k fetch RPCs per block with
-        # one (at 250-400 bursts/s a block carries ~8 batches — the
-        # per-batch fetches alone used to cost more than the compute).
         B = self.burst_batch
         jobs = []
         for idxs, proc in buckets:
@@ -472,37 +626,15 @@ class Pipeline:
                 starts[:m] = rel_start[sel]
                 lens[:m] = ext_len[sel]
                 bins[:m] = g["bin"][sel]
-                jobs.append((sel, proc, starts, lens, bins))
-        if not jobs:
-            return []
-
-        def dispatch_all():
-            outs = [proc(stream, jnp.asarray(starts), jnp.asarray(lens),
-                         jnp.asarray(bins))
-                    for _, proc, starts, lens, bins in jobs]
-            pf_all = outs[0][2] if len(outs) == 1 \
-                else self._concat_fn(*[o[2] for o in outs])
-            return outs, np.asarray(pf_all)
-
-        t0 = time.perf_counter()
-        outs, pf_all = _retry(dispatch_all, tag="burst batches")
-        with self._lock:
-            self.timing["burst_fetch_wait"] += time.perf_counter() - t0
-            self.timing["n_burst_batches"] += len(jobs)
-
-        frames = []
-        for row, ((sel, proc, *_), (dm, dd, _)) in enumerate(zip(jobs, outs)):
-            frames += self._format_batch(
-                pf_all[row * B:(row + 1) * B], dm, dd, g, sel,
-                base_index, abs_start_cl)
-        frames.sort(key=lambda f: f["id"])
-        return frames
+                jobs.append((bi, g, abs_start_cl, sel,
+                             stream, proc, starts, lens, bins))
+        return jobs
 
     def _format_batch(self, pf, dm, dd, g, sel, base_index,
                       abs_start_cl) -> list[dict]:
         p, dmp = self.p, self.dmp
         m = len(sel)
-        u = unpack_outputs(pf)
+        u = unpack_outputs(pf, dmp.max_symbols, self.want_llr)
         if self.save_bursts_dir:
             self._save_bursts(dm, dd, g, sel, base_index)
         with self._lock:
