@@ -83,10 +83,24 @@ def build_parser() -> argparse.ArgumentParser:
                         "of the reference's external CPU profiling, "
                         "ARCHITECTURE.md:630-634)")
     p.add_argument("-v", "--verbose", action="store_true")
-    p.add_argument("--burst-batch", type=int, default=16,
+    p.add_argument("--burst-batch", type=int, default=128,
                    help="device burst batch size (TPU tuning)")
     p.add_argument("--frames-per-block", type=int, default=512,
                    help="FFT frames per device block (TPU tuning)")
+    p.add_argument("--agg-blocks", type=int, default=None,
+                   help="blocks per aggregated device->host fetch "
+                        "(TPU tuning; default 4 offline, 1 for stdin "
+                        "live mode to keep output latency at one block)")
+    p.add_argument("--fir", choices=("mxu", "conv"), default="mxu",
+                   help="decimating-FIR implementation: 'mxu' "
+                        "polyphase-matmul (default) or the 'conv' "
+                        "verification path (cf. reference --no-simd)")
+    p.add_argument("--mesh", type=int, metavar="N",
+                   help="run the capture through the N-device sharded "
+                        "SPMD pipeline (multi-chip; with "
+                        "jax.distributed initialized from the "
+                        "environment this spans hosts, and output is "
+                        "emitted on host 0 only)")
     return p
 
 
@@ -118,12 +132,38 @@ def main(argv=None) -> int:
         threshold_db=args.threshold,
         frames_per_block=args.frames_per_block,
     )
-    pipe = Pipeline(det_cfg=det, dm_cfg=DownmixConfig(),
-                    burst_batch=args.burst_batch,
-                    use_gardner=not args.no_gardner,
-                    save_bursts_dir=args.save_bursts,
-                    use_pallas=True if args.pallas
-                    else (False if args.no_pallas else None))
+    # LLRs cross the (slow) device->host boundary only when a protocol
+    # decoder consumes them; the RAW line itself never prints them.
+    decode_active = (args.parsed or args.gsmtap or args.web is not None
+                     or args.position is not None or args.acars
+                     or args.acars_json or args.acars_udp or args.feed)
+    live_in = args.file in ("-", "/dev/stdin")
+    agg = args.agg_blocks if args.agg_blocks else (1 if live_in else 4)
+    if args.mesh:
+        # Sharded SPMD pipeline over an N-device mesh (multi-host when
+        # jax.distributed is initialized; SURVEY.md §2.5).
+        from .parallel import distributed
+        from .parallel.stream import ShardedPipeline
+        from jax.sharding import Mesh
+        import numpy as _np
+        distributed.initialize()
+        devs = _np.array(jax.devices()[:args.mesh])
+        if len(devs) < args.mesh:
+            print(f"error: --mesh {args.mesh} but only {len(devs)} "
+                  "devices available", file=sys.stderr)
+            return 2
+        pipe = ShardedPipeline(det, mesh=Mesh(devs, ("shards",)),
+                               burst_batch=args.burst_batch)
+    else:
+        pipe = Pipeline(det_cfg=det, dm_cfg=DownmixConfig(),
+                        burst_batch=args.burst_batch,
+                        use_gardner=not args.no_gardner,
+                        save_bursts_dir=args.save_bursts,
+                        use_pallas=True if args.pallas
+                        else (False if args.no_pallas else None),
+                        fir_mode=args.fir,
+                        want_llr=bool(decode_active),
+                        agg_blocks=agg)
     printer = RawPrinter(args.file_info)
 
     zmq_sock = None
@@ -272,10 +312,15 @@ def main(argv=None) -> int:
 
     n_gsmtap = 0
     need_frame = web is not None or doppler is not None
+    # multihost --mesh: side-channel outputs are host-0-only (SURVEY.md
+    # §2.5; the reference's stdout/sockets have no multi-process analogue)
+    emit_host = (not args.mesh) or jax.process_index() == 0
     from .io import native
     bs = pipe.p.block_samples
     for frames in pipe.run_blocks(native.read_blocks(args.file, bs,
                                                      args.format)):
+        if not emit_host:
+            continue
         # Block-vectorized protocol decode: one decode_block call covers
         # every frame's BCH/LCW/IDA math (matches the throughput role of
         # frame_decode.c:414-598 / ida_decode.c:543-664; the scalar

@@ -42,15 +42,20 @@ def initialize(coordinator_address: str | None = None,
     failure, mirroring the reference's graceful optional-subsystem
     degradation (e.g. main.c:582-634)."""
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
     try:
+        # NOTE: must run before anything touches the XLA backend —
+        # probing jax.process_count() here would itself initialize it.
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
         _initialized = True
     except (RuntimeError, ValueError) as e:
+        if "must be called before" in str(e) and jax.process_count() > 1:
+            # backend already initialized by an earlier call: fine
+            _initialized = True
+            return
         # single-process / no cluster env: run standalone
         if num_processes not in (None, 1):
             raise

@@ -354,7 +354,7 @@ class ShardedPipeline:
                     pairs, prev_tail,
                     self._put_rows(starts), self._put_rows(lens),
                     self._put_rows(bins))
-                return np.asarray(pf)
+                return self._fetch_rows(pf)
 
             t0 = time.perf_counter()
             pf = pl_mod._retry(dispatch, tag="sharded burst batch")
@@ -379,14 +379,50 @@ class ShardedPipeline:
     def _put_rows(self, arr: np.ndarray):
         return jax.device_put(arr, NamedSharding(self.mesh, P(AXIS)))
 
+    def _fetch_rows(self, pf) -> np.ndarray:
+        """Fetch a P(AXIS)-sharded (n, ...) result to every host.
+        Single-process: plain device fetch. Multihost: gather local
+        shards, then allgather across processes (stats are maintained on
+        every host; emission stays host-0-only in run_array)."""
+        if jax.process_count() == 1:
+            return np.asarray(pf)
+        from jax.experimental import multihost_utils
+        shards = sorted(pf.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        local = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        return np.asarray(multihost_utils.process_allgather(
+            local, tiled=True))
+
     def _fetch_gone(self, packed) -> np.ndarray:
         """Fetch the (n, G+1, 6) gone tables to EVERY host (they drive
-        routing, which must be identical across processes)."""
+        routing, which must be identical across processes).
+
+        Multihost: the tables are mostly empty (G rows of capacity,
+        a handful occupied), so allgathering them whole costs ~400 kB
+        of DCN per block at G=2048 x 8 shards. Instead: allgather the
+        tiny occupancy counts first, then allgather only the globally
+        maximal occupied prefix (identical K on every process, so the
+        collective shapes agree)."""
         if jax.process_count() == 1:
             return np.asarray(packed)
         from jax.experimental import multihost_utils
-        return np.asarray(
-            multihost_utils.process_allgather(packed, tiled=False))
+        # this process's shards, in global shard order (device order on
+        # the mesh is process-major, so concatenation across processes
+        # reassembles the global table)
+        shards = sorted(packed.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        local = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        counts = local[:, 0, 0].astype(np.int32)
+        all_counts = np.asarray(multihost_utils.process_allgather(
+            counts, tiled=True))
+        k = int(all_counts.max(initial=0))
+        prefix = np.ascontiguousarray(local[:, :1 + k])
+        gathered = np.asarray(multihost_utils.process_allgather(
+            prefix, tiled=True))               # (n_global, 1+k, 6)
+        G = self.p.gone_capacity
+        out = np.zeros((gathered.shape[0], G + 1, 6), local.dtype)
+        out[:, :1 + k] = gathered
+        return out
 
     def run_blocks(self, blocks) -> Iterator[list[dict]]:
         """Multi-block driver: chains detector state + the overlap-save
@@ -401,6 +437,38 @@ class ShardedPipeline:
             pending = ctx
         if pending is not None:
             yield self._finish_block(pending)
+
+    # -- CLI-facing shims (same surface as runtime.pipeline.Pipeline) --
+
+    def take_q_peak(self) -> int:
+        v = self.stats.q_peak
+        self.stats.q_peak = 0
+        return v
+
+    def noise_floor_db(self) -> float:
+        """Average noise floor in dBFS/Hz over the OWNED bins of every
+        shard (burst_detect.c:363-380). Halo bins are duplicated across
+        shards, so only the owned span is summed."""
+        p = self.p
+        hist = np.asarray(jax.device_get(self.state.baseline_sum))
+        owned = hist[:, self.halo:self.halo + self.own_bins]
+        avg = float(owned.sum()) / (p.fft_size * p.history_size)
+        bin_width = p.sample_rate / p.fft_size
+        if avg > 0 and bin_width > 0:
+            return 10.0 * float(np.log10(avg / bin_width))
+        return -120.0
+
+    def peak_signal_db(self) -> float:
+        return float(np.asarray(
+            jax.device_get(self.state.peak_signal_db)).max())
+
+    def run_file(self, path: str, fmt: str | None = None) -> Iterator[dict]:
+        from ..io import native
+        bs = self.p.block_samples
+        emit = jax.process_index() == 0
+        for frames in self.run_blocks(native.read_blocks(path, bs, fmt)):
+            if emit:
+                yield from frames
 
     def run_array(self, samples: np.ndarray) -> Iterator[dict]:
         bs = self.p.block_samples

@@ -245,7 +245,8 @@ class Pipeline:
                  use_pallas: bool | None = None,
                  fir_mode: str = "mxu",
                  want_llr: bool = True,
-                 agg_blocks: int = 4):
+                 agg_blocks: int = 4,
+                 group_jobs: int = 8):
         det_cfg = det_cfg or DetectorConfig()
         dm_cfg = dm_cfg or DownmixConfig()
         if use_pallas is None:
@@ -271,6 +272,12 @@ class Pipeline:
         # single-chip pipeline's dominant cost; amortize it). Raises
         # output latency by agg_blocks * block seconds — keep 1 for live.
         self.agg_blocks = max(agg_blocks, 1)
+        # group_jobs: burst batches per group-processor dispatch (a
+        # STATIC shape — groups with more bursts run multiple rounds,
+        # groups with fewer pad; padded batches are masked out on
+        # device). 8 x 128 covers ~2x the reference's live 10 MHz
+        # detection density for a 4-block group.
+        self.group_jobs = max(group_jobs, 1)
         self.p: DetectorParams = det_cfg.derived()
         self.dmp: DownmixParams = dm_cfg.derived(self.p)
         p, dmp = self.p, self.dmp
@@ -286,12 +293,18 @@ class Pipeline:
         self.use_gardner = use_gardner
         self.start_time_ns = start_time_ns
 
+        # per-block device stream length: [tail | block | zero pad]
+        self.stream_len = p.block_samples + 2 * self.l_ext
+
         self._build_step()
         self._build_burst_processor()
         # variadic packed-output concat / gone-table stack (one compile
-        # per arity+shape, cached)
+        # per arity+shape, cached; arities are bounded by agg_blocks and
+        # the round count, both fixed in steady state)
         self._concat_fn = jax.jit(lambda *xs: jnp.concatenate(xs, axis=0))
         self._stack_fn = jax.jit(lambda *xs: jnp.stack(xs))
+        self._flatcat = jax.jit(lambda *xs: jnp.concatenate(
+            [x.reshape(-1, x.shape[-1]) for x in xs], axis=0))
         self._lock = threading.Lock()
         self.reset()
         self.start_time_ns = start_time_ns
@@ -360,19 +373,67 @@ class Pipeline:
         legal burst (~90 ms, reference iridium.h:49-52) but typical
         Iridium bursts + pre/post padding fit in ~1/4 of it, and the
         coarse-rotate + 801-tap decimating FIR cost is proportional to
-        the window. Bursts are routed by extraction length."""
+        the window. Bursts are routed by extraction length.
+
+        Each bucket exists in two forms: a per-batch processor (the
+        save-bursts/debug path, exposing the DownmixOut/DemodOut device
+        handles) and a GROUP processor — a lax.map over a fixed number
+        of batch jobs against the group's concatenated streams, so a
+        whole group of blocks costs ONE params upload, a fixed set of
+        dispatches, and one packed fetch, with every shape static (no
+        per-density recompiles)."""
         p, dmp = self.p, self.dmp
         self.l_small = min(self.l_ext, _round_up(
             p.burst_pre_len + p.burst_post_len + 120_000 + self.in_ntaps,
             128))
+        dec_cap_small = (self.l_small - self.in_ntaps) \
+            // dmp.decimation + 1
+        # Large bursts (> l_small extraction) are rare; give them a
+        # smaller batch so a padded large job costs ~1/8 of a small one.
+        self.batch_large = max(8, self.burst_batch // 8)
         self.process_fn = self._make_processor(self.l_ext, dmp.dec_cap)
         if self.l_small < self.l_ext:
-            dec_cap_small = (self.l_small - self.in_ntaps) \
-                // dmp.decimation + 1
             self.process_small = self._make_processor(
                 self.l_small, dec_cap_small)
         else:
             self.process_small = self.process_fn
+        self.group_small = self._make_group_processor(
+            self.l_small, dec_cap_small, self.group_jobs, self.burst_batch)
+        self.group_large = self._make_group_processor(
+            self.l_ext, dmp.dec_cap, max(self.group_jobs // 4, 1),
+            self.batch_large)
+
+    def _make_group_processor(self, l_win: int, dec_cap: int,
+                              J: int, Bb: int):
+        """jit((flat_stream, params (J, 3, Bb) i32) -> (J, Bb, W) i32):
+        J burst batches of Bb bursts each, gathered from the group's
+        concatenated block streams (starts pre-offset by the owning
+        block's stream base), downmixed, demodulated, packed."""
+        p, dmp = self.p, self.dmp
+        dm_one = downmix.make_downmix_one(p, dmp, l_win,
+                                          dmp.max_frame_samples,
+                                          dec_cap=dec_cap,
+                                          use_pallas=self.use_pallas,
+                                          fir_mode=self.fir_mode)
+        demod_one = demod_mod.make_demod(dmp.max_symbols,
+                                         dmp.samples_per_symbol,
+                                         self.use_gardner)
+        want_llr = self.want_llr
+        s2_pad = 2 * dmp.max_symbols
+
+        def one(flat_stream, pr):
+            dm = dm_one.batch(flat_stream, pr[0], pr[1], pr[2])
+            dd = jax.vmap(demod_one)(dm.samples, dm.n_samples,
+                                     dm.direction)
+            return pack_outputs(dm, dd, want_llr=want_llr, s2_pad=s2_pad)
+
+        def process_group(flat_stream, params):
+            return jax.lax.map(lambda pr: one(flat_stream, pr), params)
+
+        fn = jax.jit(process_group)
+        fn.n_jobs = J
+        fn.batch = Bb
+        return fn
 
     def _make_processor(self, l_win: int, dec_cap: int):
         p, dmp = self.p, self.dmp
@@ -446,7 +507,11 @@ class Pipeline:
     def _finish_group(self, ctxs) -> list[list[dict]]:
         """Finish `agg_blocks` dispatched blocks with two fetch RPCs
         total: one stacked gone-table fetch, one concatenated packed-row
-        fetch. Returns the per-block frame lists, in block order."""
+        fetch. Burst batches are formed GROUP-WIDE (a batch may span
+        blocks) and processed by the fixed-shape group processors — one
+        params upload + a static dispatch set per group, so steady state
+        never recompiles and never waits on per-job transfers. Returns
+        the per-block frame lists, in block order."""
         t0 = time.perf_counter()
 
         def fetch_tables():
@@ -468,9 +533,8 @@ class Pipeline:
             self.timing["gone_fetch_wait"] += time.perf_counter() - t0
             self.timing["n_groups"] += 1
 
-        jobs = []
+        blocks_g = []
         for bi, ctx in enumerate(ctxs):
-            stream, _, base_index, _ = ctx
             tab = pk[bi]
             g_count = int(tab[0, 0])
             n_tagged = int(tab[0, 1])
@@ -488,8 +552,120 @@ class Pipeline:
             g = dict(id=rows[:, 0], start=rows[:, 1], stop=rows[:, 2],
                      bin=rows[:, 3], mag=rows[:, 4].view(np.float32),
                      noise=rows[:, 5].view(np.float32))
-            jobs += self._route_bursts(bi, stream, g, base_index)
+            blocks_g.append((bi, g, ctx[2]))
 
+        out: list[list[dict]] = [[] for _ in ctxs]
+        if not blocks_g:
+            return out
+        if self.save_bursts_dir:
+            # debug path: per-batch processors keep the DownmixOut /
+            # DemodOut device handles the IQ dumps need
+            return self._finish_group_legacy(ctxs, blocks_g)
+
+        ginfo = self._route_group(blocks_g)
+        rounds = []       # (proc, params (J,3,Bb) np, meta (J,Bb,2) np)
+        for proc, idx in ((self.group_small, ginfo["small"]),
+                          (self.group_large, ginfo["large"])):
+            J, Bb = proc.n_jobs, proc.batch
+            per_round = J * Bb
+            for r0 in range(0, len(idx), per_round):
+                sel = idx[r0:r0 + per_round]
+                params = np.zeros((J, 3, Bb), np.int32)
+                meta = np.full((J, Bb), -1, np.int64)
+                for j0 in range(0, len(sel), Bb):
+                    j = j0 // Bb
+                    s = sel[j0:j0 + Bb]
+                    params[j, 0, :len(s)] = ginfo["flat_start"][s]
+                    params[j, 1, :len(s)] = ginfo["ext_len"][s]
+                    params[j, 2, :len(s)] = ginfo["bin"][s]
+                    meta[j, :len(s)] = s
+                rounds.append((proc, params, meta))
+
+        def dispatch_all():
+            flat = ctxs[0][0] if len(ctxs) == 1 \
+                else self._concat_fn(*[c[0] for c in ctxs])
+            outs = [proc(flat, jnp.asarray(params))
+                    for proc, params, _ in rounds]
+            pf = self._flatcat(*outs)
+            return np.asarray(pf)
+
+        t0 = time.perf_counter()
+        pf_all = _retry(dispatch_all, tag="burst batches")
+        with self._lock:
+            self.timing["burst_fetch_wait"] += time.perf_counter() - t0
+            self.timing["n_burst_batches"] += sum(
+                r[0].n_jobs for r in rounds)
+
+        meta_all = np.concatenate([m.reshape(-1) for _, _, m in rounds])
+        self._format_group(pf_all, meta_all, ginfo, blocks_g, out)
+        for frames in out:
+            frames.sort(key=lambda f: f["id"])
+        return out
+
+    def _route_group(self, blocks_g) -> dict:
+        """Group-wide burst routing: flatten every block's gone bursts
+        into one table with starts offset into the group's concatenated
+        stream, then bucket by extraction length."""
+        p = self.p
+        sl = self.stream_len
+        flat_start, ext_len, bins = [], [], []
+        blk, gi_l, abs_cl = [], [], []
+        for bi, g, base_index in blocks_g:
+            abs_start = g["start"].astype(np.int64) + base_index
+            cl = np.maximum(abs_start, 0)
+            el = (g["stop"].astype(np.int64) + p.burst_pre_len
+                  + base_index - cl)
+            el = np.minimum(el, self.l_ext).astype(np.int32)
+            rel = (cl - base_index + self.l_ext).astype(np.int64)
+            flat_start.append(rel + bi * sl)
+            ext_len.append(el)
+            bins.append(g["bin"])
+            blk.append(np.full(len(el), bi, np.int64))
+            gi_l.append(np.arange(len(el), dtype=np.int64))
+            abs_cl.append(cl)
+        flat_start = np.concatenate(flat_start).astype(np.int32)
+        ext_len = np.concatenate(ext_len)
+        bins = np.concatenate(bins).astype(np.int32)
+        small = ext_len <= self.l_small
+        return dict(
+            flat_start=flat_start, ext_len=ext_len, bin=bins,
+            blk=np.concatenate(blk), gi=np.concatenate(gi_l),
+            abs_cl=np.concatenate(abs_cl),
+            small=np.nonzero(small)[0], large=np.nonzero(~small)[0])
+
+    def _format_group(self, pf_all, meta_all, ginfo, blocks_g, out):
+        p, dmp = self.p, self.dmp
+        u = unpack_outputs(pf_all, dmp.max_symbols, self.want_llr)
+        valid = meta_all >= 0
+        with self._lock:
+            self.stats.n_handled += int((u["dm_ok"] & valid).sum())
+        ok = u["dm_ok"] & u["dd_ok"] & valid
+        with self._lock:
+            self.stats.n_ok += int(ok.sum())
+        if not ok.any():
+            return
+        t1 = time.perf_counter()
+        gmap = {bi: (g, base) for bi, g, base in blocks_g}
+        for j in np.nonzero(ok)[0]:
+            e = int(meta_all[j])
+            bi = int(ginfo["blk"][e])
+            gi = int(ginfo["gi"][e])
+            g, _ = gmap[bi]
+            out[bi].append(build_frame(
+                p, dmp, self.in_ntaps, self.start_time_ns,
+                int(g["id"][gi]), int(g["bin"][gi]),
+                float(g["mag"][gi]), float(g["noise"][gi]),
+                int(ginfo["abs_cl"][e]), u, j))
+        with self._lock:
+            self.timing["host_format"] += time.perf_counter() - t1
+
+    def _finish_group_legacy(self, ctxs, blocks_g) -> list[list[dict]]:
+        """Per-batch-processor path (save-bursts mode): same results,
+        but each batch is its own dispatch with host-built operands, and
+        the DownmixOut/DemodOut handles stay available for IQ dumps."""
+        jobs = []
+        for bi, g, base_index in blocks_g:
+            jobs += self._route_bursts(bi, ctxs[bi][0], g, base_index)
         out: list[list[dict]] = [[] for _ in ctxs]
         if not jobs:
             return out

@@ -114,41 +114,43 @@ def main():
         print(f"full proc B={B:3d}: {tt * 1e3:8.2f} ms/batch "
               f"({tt / B * 1e6:7.1f} us/burst)", flush=True)
 
-        # rotate+decimate alone
-        dm_one = downmix.make_downmix_one(
-            p, dmp, l_small, dmp.max_frame_samples, dec_cap=dec_cap_small)
-        nm = (np.arange(l_small, dtype=np.int64) % p.fft_size).astype(np.int32)
-        in_taps = np.asarray(downmix.make_consts(dmp).input_taps)
+        # rotate+decimate alone, both FIR modes
+        for mode in ("mxu", "conv"):
+            dm_one = downmix.make_downmix_one(
+                p, dmp, l_small, dmp.max_frame_samples,
+                dec_cap=dec_cap_small, fir_mode=mode)
+            base_np = base
 
+            @jax.jit
+            def rd(starts, bins, dm_one=dm_one, base_np=base_np):
+                xs = jax.vmap(lambda s: jax.lax.dynamic_slice(
+                    zs, (s,), (l_small,)))(starts)
+                o = dm_one.rotate_decimate(xs, bins - p.fft_size // 2)
+                dep = (o[0, 0].real * 0).astype(jnp.int32)
+                return jnp.asarray(base_np) + dep, o
+
+            def rdstep(x, bins=bins, rd=rd):
+                starts, prev = x
+                s2, o = rd(starts, bins)
+                return (s2, o)
+            tt = chain_bench(rdstep, (jnp.asarray(base), None), args.reps)
+            print(f"rot+dec/{mode} B={B:3d}: {tt * 1e3:8.2f} ms/batch "
+                  f"({tt / B * 1e6:7.1f} us/burst)", flush=True)
+
+        # gather alone (dynamic_slice of B windows from the stream)
         @jax.jit
-        def rd(starts, bins):
+        def ga(starts):
             xs = jax.vmap(lambda s: jax.lax.dynamic_slice(
                 zs, (s,), (l_small,)))(starts)
-            ks = bins - p.fft_size // 2
+            dep = (xs[0, 0].real * 0).astype(jnp.int32)
+            return jnp.asarray(base) + dep, jnp.sum(jnp.abs(xs))
 
-            def one(x, k):
-                m = jnp.mod(k * nm, p.fft_size)
-                ang = (-2.0 * np.pi / p.fft_size) * m.astype(jnp.float32)
-                xx = x * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
-                lhs = jnp.stack([xx.real, xx.imag])[:, None, :]
-                rhs = jnp.asarray(in_taps)[None, None, :]
-                out = jax.lax.conv_general_dilated(
-                    lhs, rhs, window_strides=(dmp.decimation,),
-                    padding="VALID")
-                return out[0, 0][:dec_cap_small]
-            return jax.vmap(one)(xs, ks)
-
-        def rdstep(x, bins=bins, base=base):
-            starts, prev = x
-            o = rd(starts, bins)
-            dep = (o[0, 0] * 0).astype(jnp.int32)
-            return (jnp.asarray(base) + dep, o)
-        tt = chain_bench(lambda x: rdstep(x),
+        tt = chain_bench(lambda x: ga(x[0]),
                          (jnp.asarray(base), None), args.reps)
-        print(f"rot+dec  B={B:3d}: {tt * 1e3:8.2f} ms/batch "
+        print(f"gather       B={B:3d}: {tt * 1e3:8.2f} ms/batch "
               f"({tt / B * 1e6:7.1f} us/burst)", flush=True)
 
-        # demod alone (+ gardner-only, pll-only)
+        # demod alone (fused gardner+pll scan)
         S = dmp.max_symbols
         demod_one = demod_mod.make_demod(S, dmp.samples_per_symbol, True)
         xs_d = jnp.asarray(
@@ -156,15 +158,17 @@ def main():
              + 1j * rng.standard_normal((B, dmp.max_frame_samples))
              ).astype(np.complex64))
         ns = jnp.asarray(np.full(B, dmp.max_frame_samples, np.int32))
-        de = jax.jit(lambda a, d: jax.vmap(demod_one)(
-            a, ns, d).bits)
+
+        @jax.jit
+        def de(dirs):
+            o = jax.vmap(demod_one)(xs_d, ns, dirs).bits
+            return o[:, 0] * 0, o
 
         def destep(x):
             dirs, prev = x
-            o = de(xs_d, dirs)
-            return (o[:, 0] * 0, o)
-        tt = chain_bench(destep, (jnp.zeros(B, jnp.int32), None), args.reps)
-        print(f"demod    B={B:3d}: {tt * 1e3:8.2f} ms/batch "
+            return de(dirs)
+        tt = chain_bench(destep, (jnp.asarray(np.zeros(B, np.int32)), None), args.reps)
+        print(f"demod        B={B:3d}: {tt * 1e3:8.2f} ms/batch "
               f"({tt / B * 1e6:7.1f} us/burst)  [S={S}]", flush=True)
 
 
