@@ -77,13 +77,37 @@ def _cubic4(x, pos, n_samp):
     return a * mu3 + b * mu2 + cc * mu + s1
 
 
-def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
-    """Build demod(x, n_samples, direction) for a (L,) burst; vmap over B."""
+def make_demod(max_symbols: int, sps: float, use_gardner: bool = True,
+               gather_mode: str = "auto"):
+    """Build demod(x, n_samples, direction) for a (L,) burst; vmap over B.
+
+    gather_mode:
+      "window" — the Gardner/PLL scan reads its samples from STATIC
+        per-symbol windows streamed through the scan's xs (no dynamic
+        memory indexing: a dynamic-address op costs ~20-40 us on this
+        TPU runtime, and the reference loop needs 4 per symbol). The
+        window provably covers every reachable position: the timing
+        adjustment is clamped to +-0.5/symbol (qpsk_demod.c:120), so
+        |pos_t - t*sps| <= 0.5 t <= S/2. Bit-exact for every VALID
+        symbol; symbols past end-of-burst (whose outputs are masked
+        everywhere downstream) read zeros instead of clamped samples.
+      "gather" — per-symbol dynamic_slice (the reference-shaped code).
+      "auto" — "window" when sps is an integer, else "gather".
+    """
     S = max_symbols
     uw_dl = np.array(iridium.UW_DL, np.int32)
     uw_ul = np.array(iridium.UW_UL, np.int32)
     dqpsk_map = DQPSK_MAP
     iota_s = np.arange(S, dtype=np.int32)
+    isps = int(round(sps))
+    if gather_mode == "auto":
+        gather_mode = "window" if abs(sps - isps) < 1e-9 else "gather"
+
+    # window geometry: window t covers x[t*isps - LEFT, t*isps - LEFT + WW)
+    LEFT = S // 2 + 12
+    _r_cnt = (LEFT + S // 2 + 2 * isps + 8) // isps + 1
+    WW = _r_cnt * isps
+    iota_w = np.arange(WW, dtype=np.int32)
 
     def _pll_update(phi, total, sym, v):
         """One PLL step (qpsk_demod.c:145-195) on the in-flight symbol."""
@@ -146,6 +170,65 @@ def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
             body, init, iota_s, unroll=8)
         return out, valid, total
 
+    def _w4(win_t, base, pos, n_samp):
+        """Catmull-Rom taps read from the static window (bit-equal to
+        _cubic4 whenever the clamped index lies inside the window, which
+        covers every position reachable by a still-active symbol)."""
+        idx0 = pos.astype(jnp.int32)
+        mu = pos - idx0.astype(jnp.float32)
+        idx = jnp.clip(idx0, 1, n_samp - 3)
+        rel = idx - 1 - base
+
+        def pick(d):
+            return jnp.sum(jnp.where(iota_w == rel + d, win_t, 0))
+
+        s0, s1, s2, s3 = pick(0), pick(1), pick(2), pick(3)
+        mu2 = mu * mu
+        mu3 = mu2 * mu
+        a = -0.5 * s0 + 1.5 * s1 - 1.5 * s2 + 0.5 * s3
+        b = s0 - 2.5 * s1 + 2.0 * s2 - 0.5 * s3
+        cc = -0.5 * s0 + 0.5 * s2
+        return a * mu3 + b * mu2 + cc * mu + s1
+
+    def gardner_pll_win(x, n_samp):
+        """gardner_pll with all sample reads from static windows (see
+        make_demod docstring)."""
+        nf = n_samp.astype(jnp.float32)
+        L = x.shape[0]
+        total = (S - 1 + _r_cnt) * isps
+        xpad = jnp.pad(x, (LEFT, max(total - LEFT - L, 0)))[:total]
+        A = xpad.reshape(S - 1 + _r_cnt, isps)
+        win = jnp.concatenate([A[r:r + S] for r in range(_r_cnt)],
+                              axis=1)            # (S, WW)
+
+        def body(carry, inp):
+            t, win_t = inp
+            pos, tmo, prev, done, phi, total = carry
+            base = t * isps - LEFT
+            active = (~done) & (pos < nf - 3)
+            done = done | ~active
+            on = _w4(win_t, base, pos, n_samp)
+            midpos = pos - sps * 0.5
+            mid = _w4(win_t, base, midpos, n_samp)
+            do_mid = (t > 0) & (midpos >= 1.0)
+            diff = prev - on
+            err = jnp.clip((diff * jnp.conj(mid)).real, -1.0, 1.0)
+            tmo2 = jnp.where(do_mid, tmo + GARDNER_KI * err, tmo)
+            adjust = jnp.clip(GARDNER_KP * err + tmo2, -0.5, 0.5)
+            pos2 = jnp.where(do_mid, pos + adjust, pos)
+            phi2, total2, out = _pll_update(phi, total, on, active)
+            new = (jnp.where(active, pos2 + sps, pos),
+                   jnp.where(active, tmo2, tmo),
+                   jnp.where(active, on, prev),
+                   done, phi2, total2)
+            return new, (out, active)
+
+        init = (np.float32(0.0), np.float32(0.0), np.complex64(0.0),
+                np.bool_(False), np.complex64(1.0), np.float32(0.0))
+        (_, _, _, _, _, total), (out, valid) = jax.lax.scan(
+            body, init, (iota_s, win), unroll=8)
+        return out, valid, total
+
     def simple(x, n_samp):
         isps = int(round(sps))
         idx = iota_s * isps
@@ -164,7 +247,9 @@ def make_demod(max_symbols: int, sps: float, use_gardner: bool = True):
         return out, total
 
     def demod(x, n_samples, direction):
-        if use_gardner:
+        if use_gardner and gather_mode == "window":
+            pll_out, valid, total_phase = gardner_pll_win(x, n_samples)
+        elif use_gardner:
             pll_out, valid, total_phase = gardner_pll(x, n_samples)
         else:
             syms, valid = simple(x, n_samples)

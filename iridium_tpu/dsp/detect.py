@@ -202,32 +202,37 @@ def make_frame_step(p: DetectorParams, *,
     def global_sum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
-    def update_baseline(s: DetectorState, mag: jax.Array, do: jax.Array):
-        """Conditional running-sum noise update (burst_detect.c:438-454).
+    H = p.history_size
 
-        All conditionality is at ROW granularity (32 kB), never over the
-        whole (history_size, F) buffer: a full-history select per frame is
-        ~16 MB of HBM traffic x 512 frames. Rows older than the last
-        noise-estimate reset are masked out via `primed` instead of being
-        zeroed (they are always overwritten before `primed` flips back to
-        1, so masking the read is exactly equivalent to the reference's
-        memset, burst_detect.c:618-627)."""
-        old = s.baseline_hist[s.hist_idx] * s.primed.astype(jnp.float32)
+    def update_baseline(s: DetectorState, mag: jax.Array, do: jax.Array,
+                        evict_row: jax.Array):
+        """Conditional running-sum noise update (burst_detect.c:438-454)
+        — WITHOUT touching the (history_size, F) buffer.
+
+        The frame body runs under lax.cond branches, and a cond that
+        carries the 16 MB history buffer copies it on every frame (~40 us
+        x 2048 frames — measured as the dominant detect cost). So the
+        branches update only the O(F) fields here; `evict_row` is the
+        history row this update would evict, PRE-READ outside the cond,
+        and the returned write slot (p.history_size = no write) is
+        applied to the buffer outside the cond by frame_step.
+
+        Rows older than the last noise-estimate reset are masked out via
+        `primed` instead of being zeroed (they are always overwritten
+        before `primed` flips back to 1, so masking the read is exactly
+        equivalent to the reference's memset, burst_detect.c:618-627)."""
+        old = evict_row * s.primed.astype(jnp.float32)
         new_sum = jnp.where(do, s.baseline_sum - old + mag, s.baseline_sum)
-        row = jnp.where(do, mag, s.baseline_hist[s.hist_idx])
-        new_hist = jax.lax.dynamic_update_slice(
-            s.baseline_hist, row[None, :], (s.hist_idx, 0))
+        wslot = jnp.where(do, s.hist_idx, H)
         nxt = s.hist_idx + 1
-        wrapped = do & (nxt == p.history_size)
-        new_idx = jnp.where(do, jnp.where(nxt == p.history_size, 0, nxt),
-                            s.hist_idx)
+        wrapped = do & (nxt == H)
+        new_idx = jnp.where(do, jnp.where(nxt == H, 0, nxt), s.hist_idx)
         new_primed = jnp.where(wrapped, 1, s.primed)
         return s._replace(
             baseline_sum=new_sum,
-            baseline_hist=new_hist,
             hist_idx=new_idx,
             primed=new_primed,
-        )
+        ), wslot
 
     def append_gone(s: DetectorState, flags: jax.Array, stop: jax.Array):
         """Remove flagged active bursts; append the OWNED ones to the gone
@@ -269,12 +274,12 @@ def make_frame_step(p: DetectorParams, *,
         owned = owned_bin[jnp.clip(s.a_bin, 0, FL - 1)]
         return global_sum(jnp.sum((s.a_valid & owned).astype(jnp.int32)))
 
-    def full_step(s: DetectorState, xs):
+    def full_step(s: DetectorState, mag, idx, act, row0, row1):
         # mag: (FL,) f32; idx: i32 frame-start index; act: bool — frame is
         # within the valid sample range (EOF gating, burst_detect.c:821).
-        # `act` is folded into every state write at field granularity; a
-        # whole-state select per frame would re-touch the 16 MB history.
-        mag, idx, act = xs
+        # `act` is folded into every state write at field granularity.
+        # row0/row1: pre-read history rows (see update_baseline); returns
+        # (state, wslot_force, wslot_idle) history-row write slots.
         primed = (s.primed > 0) & act
 
         # relative magnitude (burst_detect.c:426-434, simd_generic.c:137-144:
@@ -310,7 +315,7 @@ def make_frame_step(p: DetectorParams, *,
                          lambda s: s, s)
 
         # forced noise update inside delete_gone (burst_detect.c:516-517)
-        s = update_baseline(s, mag, force_noise)
+        s, w_force = update_baseline(s, mag, force_noise, row0)
 
         # --- update_burst_mask: recompute from remaining actives ---
         new_mask_count = _coverage_delta(
@@ -414,14 +419,15 @@ def make_frame_step(p: DetectorParams, *,
 
         # --- final noise update if no active bursts (burst_detect.c:698) ---
         n_active = count_active(s)
-        s = update_baseline(s, mag, act & (n_active == 0))
-        return s, None
+        evict = jnp.where(w_force != H, row1, row0)
+        s, w_idle = update_baseline(s, mag, act & (n_active == 0), evict)
+        return s, w_force, w_idle
 
     eligible_f = (eligible_t.astype(np.float32)
                   if isinstance(eligible_t, np.ndarray)
                   else eligible_t.astype(jnp.float32))
 
-    def quiet_step(s: DetectorState, mag, act):
+    def quiet_step(s: DetectorState, mag, act, row0):
         """Fast path for frames with no active bursts and no peaks above
         threshold — the overwhelmingly common case. Exactly equivalent to
         full_step then: no hits, no gone bursts, no creations, no squelch
@@ -429,7 +435,8 @@ def make_frame_step(p: DetectorParams, *,
         unconditional-when-idle noise update (burst_detect.c:698)."""
         s = s._replace(squelch_count=jnp.where(
             act, jnp.maximum(s.squelch_count - 1, 0), s.squelch_count))
-        return update_baseline(s, mag, act)
+        s, w_idle = update_baseline(s, mag, act, row0)
+        return s, jnp.int32(H), w_idle
 
     def frame_step(s: DetectorState, xs):
         # Gate the full burst machinery behind a per-frame branch. The
@@ -437,7 +444,19 @@ def make_frame_step(p: DetectorParams, *,
         # mask_count is all-zero (it is recomputed whenever a burst is
         # deleted and zeroed by squelch), so rel*eligible equals the
         # masked peak vector the full path would threshold.
+        #
+        # CRITICAL for speed: the 16 MB history buffer must NOT flow
+        # through the cond (each branch switch would copy it, ~40 us x
+        # 2048 frames). The branches see a dummy scalar in its place;
+        # the <=2 evicted rows are pre-read here and the <=2 row writes
+        # are applied here, branchlessly (slot H = dropped write).
         mag, idx, act = xs
+        hist = s.baseline_hist
+        idx0 = s.hist_idx
+        row0 = hist[idx0]
+        row1 = hist[jnp.where(idx0 + 1 == H, 0, idx0 + 1)]
+        s_nh = s._replace(baseline_hist=mag[0] * 0.0)
+
         rel = jnp.where(s.baseline_sum > 0, mag / s.baseline_sum, 0.0)
         cand = (jnp.max(rel * eligible_f) > threshold) & (s.primed > 0)
         have = jnp.any(s.a_valid) | cand
@@ -445,10 +464,14 @@ def make_frame_step(p: DetectorParams, *,
             # all shards must take the same branch: full_step contains
             # collectives (count_active / force_noise psums)
             have = jax.lax.psum(have.astype(jnp.int32), axis_name) > 0
-        s = jax.lax.cond(have,
-                         lambda s: full_step(s, xs)[0],
-                         lambda s: quiet_step(s, mag, act), s)
-        return s, None
+        s_nh, w0, w1 = jax.lax.cond(
+            have,
+            lambda o: full_step(o[0], o[1], o[2], o[3], o[4], o[5]),
+            lambda o: quiet_step(o[0], o[1], o[3], o[4]),
+            (s_nh, mag, idx, act, row0, row1))
+        hist = hist.at[w0].set(mag, mode="drop")
+        hist = hist.at[w1].set(mag, mode="drop")
+        return s_nh._replace(baseline_hist=hist), None
 
     return frame_step
 

@@ -142,6 +142,40 @@ def _fir_valid_f(x: jax.Array, taps: jax.Array) -> jax.Array:
     return out[0, 0]
 
 
+def _shift_take(x: jax.Array, start: jax.Array, out_len: int) -> jax.Array:
+    """out[i] = x[start + i] for i < out_len (x already padded so that
+    start + out_len <= len(x)), WITHOUT a dynamic-address memory op — a
+    dynamic_slice costs ~20-40 us through this TPU runtime regardless of
+    size, and the burst chain needs several per burst.
+
+    Two exact branchless levels over 128-lane rows:
+      coarse: select rows q..q+nbo of x.reshape(-1, 128)  (q = start//128)
+      fine:   rotate by r = start%128 using row pairs
+    Both are where-masked sums (bit-exact picks; a matmul formulation
+    would round through bf16 passes)."""
+    r = start % 128
+    q = start // 128
+    nb = x.shape[0] // 128
+    A = x[:nb * 128].reshape(nb, 128)
+    nbo = out_len // 128 + 2      # fine stage consumes row PAIRS
+    # coarse row select: C[ro] = A[q + ro]
+    iota_nb = jax.lax.iota(jnp.int32, nb)
+    sel = (iota_nb[None, :] == (q + jax.lax.iota(jnp.int32, nbo)[:, None]))
+    C = jnp.sum(jnp.where(sel[:, :, None], A[None, :, :], 0), axis=1)
+    # fine rotate: out[u, v] = concat(C[u], C[u+1])[v + r]
+    F2 = jnp.concatenate([C[:-1], C[1:]], axis=1)        # (nbo-1, 256)
+    iota256 = jax.lax.iota(jnp.int32, 256)
+    pick = (iota256[None, :] == (r + jax.lax.iota(jnp.int32, 128)[:, None]))
+    out = jnp.sum(jnp.where(pick[None, :, :], F2[:, None, :], 0), axis=2)
+    return out.reshape(-1)[:out_len]
+
+
+def _pick1(vec: jax.Array, idx: jax.Array):
+    """vec[idx] without a dynamic-address op (branchless mask-sum)."""
+    n = vec.shape[0]
+    return jnp.sum(jnp.where(jax.lax.iota(jnp.int32, n) == idx, vec, 0))
+
+
 def _quad_interp(alpha, beta, gamma):
     """Three-point quadratic peak interpolation with the reference's
     denominator guard (burst_downmix.c:526-528)."""
@@ -309,18 +343,28 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
     def rotate_decimate_mxu_batch(xs, ks):
         return decimate_mxu(rotate_mxu(xs, ks))
 
-    def downmix_from_dec(dec_full, ext_len, center_bin):
-        ok = ext_len >= 100
+    def downmix_from_dec(dec_full, ext_len, center_bin, shift_dec):
+        # shift_dec: gather-alignment lead, in DECIMATED samples. The
+        # window holds shift_dec*decim extra leading stream samples the
+        # reference's window does not; zeroing their decimated image and
+        # shifting every start/clamp by shift_dec reproduces the
+        # reference window edge bit-exactly (ALIGN % decim == 0, so the
+        # decimation grid is unchanged; see ops/window_gather.py).
+        ok = ext_len - shift_dec * decim >= 100
         k = center_bin - F // 2
         dec_len = jnp.clip((ext_len - in_ntaps + 1) // decim, 0, dec_cap)
-        ok &= dec_len >= 100
-        dec_full = jnp.where(iota_dec < dec_len, dec_full, 0.0)
+        ok &= dec_len - shift_dec >= 100
+        dec_full = jnp.where((iota_dec < dec_len)
+                             & (iota_dec >= shift_dec), dec_full, 0.0)
 
         # --- Step 2b: noise LPF ("same"; skipped for very short bursts,
         # burst_downmix.c:684-697) ---
         nl = _fir_same_c(dec_full, noise_taps)
         xd = jnp.where(dec_len - noise_ntaps + 1 > 0, nl, dec_full)
-        xd = jnp.where(iota_dec < dec_len, xd, 0.0)
+        # re-zero the alignment lead: the LPF smears burst energy into
+        # it, which positions the reference's window does not have
+        xd = jnp.where((iota_dec < dec_len) & (iota_dec >= shift_dec),
+                       xd, 0.0)
 
         # --- Step 3: find burst start ---
         mag2 = jnp.abs(xd) ** 2
@@ -335,16 +379,17 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
         found = jnp.any(hit)
         first = jnp.where(found, first, flen)
         start = jnp.where(
-            first > 0,
-            jnp.maximum(first + box_half - dmp.pre_start_samples, 0),
-            0)
-        start = jnp.where(flen > 0, start, 0)
+            first > shift_dec,
+            jnp.maximum(first + box_half - dmp.pre_start_samples,
+                        shift_dec),
+            shift_dec)
+        start = jnp.where(flen > 0, start, shift_dec)
         ok &= start < dec_len - 100
         frame_len = dec_len - start
 
         # --- frame gather: shift so the frame starts at index 0 ---
-        xf = jax.lax.dynamic_slice(
-            jnp.pad(xd, (0, dec_cap)), (start,), (dec_cap,))
+        pad_to = -(-(2 * dec_cap + 256) // 128) * 128
+        xf = _shift_take(jnp.pad(xd, (0, pad_to - dec_cap)), start, dec_cap)
         xf = jnp.where(iota_dec < frame_len, xf, 0.0)
 
         # --- Step 4: fine CFO estimate ---
@@ -356,9 +401,10 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
         idx = jnp.argmax(p).astype(jnp.int32)
         u = jnp.where(idx >= cfo_total // 2, idx - cfo_total, idx)
         interior = (idx > 0) & (idx < cfo_total - 1)
-        a = p[jnp.clip(idx - 1, 0, cfo_total - 1)]
-        g = p[jnp.clip(idx + 1, 0, cfo_total - 1)]
-        corr = jnp.where(interior, _quad_interp(a, p[idx], g), 0.0)
+        a = _pick1(p, jnp.clip(idx - 1, 0, cfo_total - 1))
+        b_ = _pick1(p, idx)
+        g = _pick1(p, jnp.clip(idx + 1, 0, cfo_total - 1))
+        corr = jnp.where(interior, _quad_interp(a, b_, g), 0.0)
         fine_offset = (u.astype(jnp.float32) + corr) / cfo_total / 2.0
 
         # --- Step 5: fine rotate (integer part exact, fraction in f32) ---
@@ -383,18 +429,18 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
         def peak(cc):
             pm = jnp.where(smask, jnp.abs(cc) ** 2, -1.0)
             off = jnp.argmax(pm).astype(jnp.int32)
-            return off, pm[off]
+            return off, _pick1(pm, off)
 
         off_dl, max_dl = peak(dl_c)
         off_ul, max_ul = peak(ul_c)
         is_dl = max_dl >= max_ul
         off = jnp.where(is_dl, off_dl, off_ul)
         cc = jnp.where(is_dl, dl_c, ul_c)
-        corr_val = cc[off]
+        corr_val = _pick1(cc, off)
         interior = (off > 0) & (off < search_len - 1)
-        pa = jnp.abs(cc[jnp.clip(off - 1, 0, corr_n - 1)]) ** 2
+        pa = jnp.abs(_pick1(cc, jnp.clip(off - 1, 0, corr_n - 1))) ** 2
         pb = jnp.abs(corr_val) ** 2
-        pg = jnp.abs(cc[jnp.clip(off + 1, 0, corr_n - 1)]) ** 2
+        pg = jnp.abs(_pick1(cc, jnp.clip(off + 1, 0, corr_n - 1))) ** 2
         uw_corr = jnp.where(interior, _quad_interp(pa, pb, pg), 0.0)
 
         sync_len = jnp.where(is_dl, c.dl_sync_len, c.ul_sync_len)
@@ -428,9 +474,9 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
         available = frame_len - uw_start
         ok &= available >= min_len
         n_samples = jnp.minimum(available, max_len)
-        out = jax.lax.dynamic_slice(
-            jnp.pad(xa, (0, max_frame_cap)),
-            (jnp.clip(uw_start, 0, dec_cap),), (max_frame_cap,))
+        pad_to2 = -(-(dec_cap + max_frame_cap + 256) // 128) * 128
+        out = _shift_take(jnp.pad(xa, (0, pad_to2 - dec_cap)),
+                          jnp.clip(uw_start, 0, dec_cap), max_frame_cap)
         out = jnp.where(np.arange(max_frame_cap) < n_samples, out, 0.0)
 
         return DownmixOut(
@@ -450,7 +496,8 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
                 x[None], jnp.reshape(k, (1,)))[0]
         else:
             dec_full = rotate_decimate_xla(x, k)
-        return downmix_from_dec(dec_full, ext_len, center_bin)
+        return downmix_from_dec(dec_full, ext_len, center_bin,
+                                jnp.int32(0))
 
     def downmix_batch(stream, starts, ext_lens, bins):
         """Batched entry: gathers each burst's window from the device-
@@ -468,9 +515,25 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
             dec_full = rotate_decimate_mxu_batch(xs, ks)
         else:
             dec_full = jax.vmap(rotate_decimate_xla)(xs, ks)
-        return jax.vmap(downmix_from_dec)(dec_full, ext_lens, bins)
+        zero_sd = jnp.zeros(xs.shape[0], jnp.int32)
+        return jax.vmap(downmix_from_dec)(dec_full, ext_lens, bins,
+                                          zero_sd)
+
+    def downmix_windows(xs_re, xs_im, ext_lens, bins, shift_dec):
+        """Pre-gathered-window entry (the Pallas gather path): xs planes
+        (B, l_ext) f32; shift_dec (B,) i32 alignment leads in decimated
+        samples. See ops/window_gather.py for the exactness argument."""
+        xs = jax.lax.complex(xs_re, xs_im)
+        ks = bins - F // 2
+        if fir_mode == "mxu":
+            dec_full = rotate_decimate_mxu_batch(xs, ks)
+        else:
+            dec_full = jax.vmap(rotate_decimate_xla)(xs, ks)
+        return jax.vmap(downmix_from_dec)(dec_full, ext_lens, bins,
+                                          shift_dec)
 
     downmix_one.batch = downmix_batch
+    downmix_one.windows = downmix_windows
     # expose the rotate+decimate stage for parity tests / profiling
     if fir_mode == "mxu":
         downmix_one.rotate_decimate = rotate_decimate_mxu_batch

@@ -284,11 +284,16 @@ class Pipeline:
 
         self.in_ntaps = len(downmix.make_consts(dmp).input_taps)
         # Extraction window capacity: covers the longest possible
-        # [start, stop+pre) window AND enough input for dec_cap outputs.
+        # [start, stop+pre) window AND enough input for dec_cap outputs,
+        # rounded to the gather kernel's block granularity plus one
+        # block of alignment lead (ops/window_gather.py).
+        from ..ops import window_gather as wg
+        self._wg = wg
         self.l_ext = _round_up(
             max(p.max_extract,
-                (dmp.dec_cap - 1) * dmp.decimation + self.in_ntaps),
-            128)
+                (dmp.dec_cap - 1) * dmp.decimation + self.in_ntaps)
+            + wg.ALIGN,
+            wg.ALIGN)
         self.burst_batch = burst_batch
         self.use_gardner = use_gardner
         self.start_time_ns = start_time_ns
@@ -384,14 +389,17 @@ class Pipeline:
         per-density recompiles)."""
         p, dmp = self.p, self.dmp
         self.l_small = min(self.l_ext, _round_up(
-            p.burst_pre_len + p.burst_post_len + 120_000 + self.in_ntaps,
-            128))
+            p.burst_pre_len + p.burst_post_len + 120_000 + self.in_ntaps
+            + self._wg.ALIGN,
+            self._wg.ALIGN))
         dec_cap_small = (self.l_small - self.in_ntaps) \
+            // dmp.decimation + 1
+        dec_cap_large = (self.l_ext - self.in_ntaps) \
             // dmp.decimation + 1
         # Large bursts (> l_small extraction) are rare; give them a
         # smaller batch so a padded large job costs ~1/8 of a small one.
         self.batch_large = max(8, self.burst_batch // 8)
-        self.process_fn = self._make_processor(self.l_ext, dmp.dec_cap)
+        self.process_fn = self._make_processor(self.l_ext, dec_cap_large)
         if self.l_small < self.l_ext:
             self.process_small = self._make_processor(
                 self.l_small, dec_cap_small)
@@ -400,16 +408,21 @@ class Pipeline:
         self.group_small = self._make_group_processor(
             self.l_small, dec_cap_small, self.group_jobs, self.burst_batch)
         self.group_large = self._make_group_processor(
-            self.l_ext, dmp.dec_cap, max(self.group_jobs // 4, 1),
+            self.l_ext, dec_cap_large, max(self.group_jobs // 4, 1),
             self.batch_large)
 
     def _make_group_processor(self, l_win: int, dec_cap: int,
                               J: int, Bb: int):
-        """jit((flat_stream, params (J, 3, Bb) i32) -> (J, Bb, W) i32):
+        """jit((flat_stream, params (J, 5, Bb) i32) -> (J, Bb, W) i32):
         J burst batches of Bb bursts each, gathered from the group's
-        concatenated block streams (starts pre-offset by the owning
-        block's stream base), downmixed, demodulated, packed."""
+        concatenated block streams by the Pallas window-gather kernel
+        (XLA fallback off-TPU), downmixed, demodulated, packed.
+
+        params rows: [start_tile, fine_shift_r, ext_len, bin, shift_dec]
+        (see ops/window_gather.py for the start decomposition)."""
+        import jax as _jax
         p, dmp = self.p, self.dmp
+        wg = self._wg
         dm_one = downmix.make_downmix_one(p, dmp, l_win,
                                           dmp.max_frame_samples,
                                           dec_cap=dec_cap,
@@ -420,15 +433,25 @@ class Pipeline:
                                          self.use_gardner)
         want_llr = self.want_llr
         s2_pad = 2 * dmp.max_symbols
+        on_tpu = _jax.default_backend() == "tpu"
+        gfn = wg.make_window_gather(l_win) if on_tpu else None
 
-        def one(flat_stream, pr):
-            dm = dm_one.batch(flat_stream, pr[0], pr[1], pr[2])
+        def one(flat_stream, planes, pr):
+            starts2 = jnp.stack([pr[0], pr[1]], axis=1)
+            if gfn is not None:
+                xs_re, xs_im = gfn(planes[0], planes[1], starts2)
+            else:
+                xs_re, xs_im = wg.gather_windows_xla(
+                    flat_stream, starts2, l_win)
+            dm = dm_one.windows(xs_re, xs_im, pr[2], pr[3], pr[4])
             dd = jax.vmap(demod_one)(dm.samples, dm.n_samples,
                                      dm.direction)
             return pack_outputs(dm, dd, want_llr=want_llr, s2_pad=s2_pad)
 
         def process_group(flat_stream, params):
-            return jax.lax.map(lambda pr: one(flat_stream, pr), params)
+            planes = wg.stream_planes(flat_stream)
+            return jax.lax.map(
+                lambda pr: one(flat_stream, planes, pr), params)
 
         fn = jax.jit(process_group)
         fn.n_jobs = J
@@ -563,21 +586,23 @@ class Pipeline:
             return self._finish_group_legacy(ctxs, blocks_g)
 
         ginfo = self._route_group(blocks_g)
-        rounds = []       # (proc, params (J,3,Bb) np, meta (J,Bb,2) np)
+        rounds = []       # (proc, params (J,5,Bb) np, meta (J,Bb) np)
         for proc, idx in ((self.group_small, ginfo["small"]),
                           (self.group_large, ginfo["large"])):
             J, Bb = proc.n_jobs, proc.batch
             per_round = J * Bb
             for r0 in range(0, len(idx), per_round):
                 sel = idx[r0:r0 + per_round]
-                params = np.zeros((J, 3, Bb), np.int32)
+                params = np.zeros((J, 5, Bb), np.int32)
                 meta = np.full((J, Bb), -1, np.int64)
                 for j0 in range(0, len(sel), Bb):
                     j = j0 // Bb
                     s = sel[j0:j0 + Bb]
-                    params[j, 0, :len(s)] = ginfo["flat_start"][s]
-                    params[j, 1, :len(s)] = ginfo["ext_len"][s]
-                    params[j, 2, :len(s)] = ginfo["bin"][s]
+                    params[j, 0, :len(s)] = ginfo["tile"][s]
+                    params[j, 1, :len(s)] = ginfo["r"][s]
+                    params[j, 2, :len(s)] = ginfo["ext_len"][s]
+                    params[j, 3, :len(s)] = ginfo["bin"][s]
+                    params[j, 4, :len(s)] = ginfo["shift_dec"][s]
                     meta[j, :len(s)] = s
                 rounds.append((proc, params, meta))
 
@@ -605,9 +630,13 @@ class Pipeline:
     def _route_group(self, blocks_g) -> dict:
         """Group-wide burst routing: flatten every block's gone bursts
         into one table with starts offset into the group's concatenated
-        stream, then bucket by extraction length."""
+        stream, decompose each start for the gather kernel
+        (tile * ALIGN + r + lead; ops/window_gather.py), and bucket by
+        lead-inflated extraction length."""
         p = self.p
         sl = self.stream_len
+        ALIGN = self._wg.ALIGN
+        decim = self.dmp.decimation
         flat_start, ext_len, bins = [], [], []
         blk, gi_l, abs_cl = [], [], []
         for bi, g, base_index in blocks_g:
@@ -615,7 +644,7 @@ class Pipeline:
             cl = np.maximum(abs_start, 0)
             el = (g["stop"].astype(np.int64) + p.burst_pre_len
                   + base_index - cl)
-            el = np.minimum(el, self.l_ext).astype(np.int32)
+            el = np.minimum(el, self.l_ext - ALIGN).astype(np.int64)
             rel = (cl - base_index + self.l_ext).astype(np.int64)
             flat_start.append(rel + bi * sl)
             ext_len.append(el)
@@ -623,14 +652,20 @@ class Pipeline:
             blk.append(np.full(len(el), bi, np.int64))
             gi_l.append(np.arange(len(el), dtype=np.int64))
             abs_cl.append(cl)
-        flat_start = np.concatenate(flat_start).astype(np.int32)
+        flat_start = np.concatenate(flat_start)
         ext_len = np.concatenate(ext_len)
         bins = np.concatenate(bins).astype(np.int32)
-        small = ext_len <= self.l_small
+        r = (flat_start % decim).astype(np.int64)
+        tile = (flat_start - r) // ALIGN
+        lead = flat_start - (tile * ALIGN + r)
+        ext_infl = (ext_len + lead).astype(np.int32)
+        small = ext_infl <= self.l_small
         return dict(
-            flat_start=flat_start, ext_len=ext_len, bin=bins,
+            tile=tile.astype(np.int32), r=r.astype(np.int32),
+            ext_len=ext_infl, bin=bins,
+            shift_dec=(lead // decim).astype(np.int32),
             blk=np.concatenate(blk), gi=np.concatenate(gi_l),
-            abs_cl=np.concatenate(abs_cl),
+            abs_al=np.concatenate(abs_cl) - lead,
             small=np.nonzero(small)[0], large=np.nonzero(~small)[0])
 
     def _format_group(self, pf_all, meta_all, ginfo, blocks_g, out):
@@ -655,7 +690,7 @@ class Pipeline:
                 p, dmp, self.in_ntaps, self.start_time_ns,
                 int(g["id"][gi]), int(g["bin"][gi]),
                 float(g["mag"][gi]), float(g["noise"][gi]),
-                int(ginfo["abs_cl"][e]), u, j))
+                int(ginfo["abs_al"][e]), u, j))
         with self._lock:
             self.timing["host_format"] += time.perf_counter() - t1
 

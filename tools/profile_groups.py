@@ -105,13 +105,15 @@ def main():
             per_round = J * Bb
             for r0 in range(0, len(idx), per_round):
                 sel = idx[r0:r0 + per_round]
-                params = np.zeros((J, 3, Bb), np.int32)
+                params = np.zeros((J, 5, Bb), np.int32)
                 for j0 in range(0, len(sel), Bb):
                     j = j0 // Bb
                     s = sel[j0:j0 + Bb]
-                    params[j, 0, :len(s)] = ginfo["flat_start"][s]
-                    params[j, 1, :len(s)] = ginfo["ext_len"][s]
-                    params[j, 2, :len(s)] = ginfo["bin"][s]
+                    params[j, 0, :len(s)] = ginfo["tile"][s]
+                    params[j, 1, :len(s)] = ginfo["r"][s]
+                    params[j, 2, :len(s)] = ginfo["ext_len"][s]
+                    params[j, 3, :len(s)] = ginfo["bin"][s]
+                    params[j, 4, :len(s)] = ginfo["shift_dec"][s]
                 rounds.append((proc, params))
         t_host += time.perf_counter() - t0
 
