@@ -246,7 +246,8 @@ class Pipeline:
                  fir_mode: str = "mxu",
                  want_llr: bool = True,
                  agg_blocks: int = 4,
-                 group_jobs: int = 8):
+                 group_jobs: int = 8,
+                 detect_impl: str = "fast"):
         det_cfg = det_cfg or DetectorConfig()
         dm_cfg = dm_cfg or DownmixConfig()
         if use_pallas is None:
@@ -278,6 +279,10 @@ class Pipeline:
         # device). 8 x 128 covers ~2x the reference's live 10 MHz
         # detection density for a 4-block group.
         self.group_jobs = max(group_jobs, 1)
+        # detect_impl: "fast" = branchless chunked scan
+        # (dsp/detect_fast.py); "exact" = the reference-faithful
+        # per-frame scan (dsp/detect.py, the test oracle's twin)
+        self.detect_impl = detect_impl
         self.p: DetectorParams = det_cfg.derived()
         self.dmp: DownmixParams = dm_cfg.derived(self.p)
         p, dmp = self.p, self.dmp
@@ -343,7 +348,11 @@ class Pipeline:
         stream, rolling tail, and detector state stay device-resident.
         """
         p = self.p
-        detect_fn = detect.make_detect_block(p)
+        if self.detect_impl == "fast":
+            from ..dsp import detect_fast
+            detect_fn = detect_fast.make_detect_block_fast(p)
+        else:
+            detect_fn = detect.make_detect_block(p)
         l_ext, bs = self.l_ext, p.block_samples
 
         def bc_i32(v):

@@ -1,0 +1,113 @@
+"""Equivalence: the branchless chunked detector (dsp/detect_fast.py,
+the production fast path) against the reference-faithful per-frame scan
+(dsp/detect.py, itself oracle-tested in test_detect.py).
+
+Within the fast path's documented capacity bounds (<=4 creations and
+<=8 deletions per frame — never hit in these scenarios) the two must
+produce identical burst tables; emission ORDER differs (slot-major vs
+id-major within a frame), so tables are compared sorted by burst id."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iridium_tpu.config import DetectorConfig
+from iridium_tpu.dsp import detect, detect_fast
+
+from test_detect import OracleDetector, small_params, tone_capture
+
+
+def gone_sorted(state):
+    n = int(state.g_count)
+    rows = [dict(id=int(state.g_id[i]), start=int(state.g_start[i]),
+                 stop=int(state.g_stop[i]), bin=int(state.g_bin[i]),
+                 mag=float(state.g_mag[i]), noise=float(state.g_noise[i]),
+                 last=int(state.g_last[i]))
+            for i in range(n)]
+    return sorted(rows, key=lambda r: r["id"])
+
+
+def run_impl(p, samples, make, n_blocks=1):
+    det = jax.jit(make(p))
+    state = detect.init_state(p)
+    out = []
+    base = 0
+    for k in range(n_blocks):
+        block = samples[k * p.block_samples:(k + 1) * p.block_samples]
+        state = det(jnp.asarray(block), state, jnp.int32(len(block)))
+        for g in gone_sorted(state):
+            g["start"] += base
+            g["stop"] += base
+            g["last"] += base
+            out.append(g)
+        state = detect.rebase_state(state, p.block_samples)
+        base += p.block_samples
+    return sorted(out, key=lambda r: r["id"]), state
+
+
+def check_same(a, b):
+    assert len(a) == len(b), (len(a), len(b))
+    for x, y in zip(a, b):
+        for k in ("id", "start", "stop", "last", "bin"):
+            assert x[k] == y[k], (k, x, y)
+        np.testing.assert_allclose(x["mag"], y["mag"], rtol=1e-5)
+        np.testing.assert_allclose(x["noise"], y["noise"], rtol=1e-5)
+
+
+def test_fast_matches_exact_multi_burst():
+    p = small_params()
+    events = [
+        (0.08, 0.010, 100_000.0, 0.05),
+        (0.085, 0.030, -200_000.0, 0.08),
+        (0.12, 0.008, 300_000.0, 0.04),
+        (0.13, 0.015, 99_000.0, 0.06),
+    ]
+    x = tone_capture(p, events)
+    want, _ = run_impl(p, x, detect.make_detect_block)
+    got, st = run_impl(p, x, detect_fast.make_detect_block_fast)
+    assert len(got) == 4
+    check_same(got, want)
+
+
+def test_fast_matches_exact_multiblock_carry():
+    p = small_params()
+    events = [
+        (0.10, 0.02, 150_000.0, 0.05),
+        (0.255, 0.02, -150_000.0, 0.05),   # straddles block boundary
+        (0.30, 0.01, 250_000.0, 0.05),
+    ]
+    x = tone_capture(p, events, n_blocks=2)
+    want, _ = run_impl(p, x, detect.make_detect_block, n_blocks=2)
+    got, _ = run_impl(p, x, detect_fast.make_detect_block_fast,
+                      n_blocks=2)
+    assert len(got) == 3
+    check_same(got, want)
+
+
+def test_fast_matches_exact_long_burst_and_oracle():
+    p = small_params()
+    x = tone_capture(p, [(0.08, 0.15, 50_000.0, 0.05)])
+    want_det = OracleDetector(p)
+    want_det.feed(x)
+    got, _ = run_impl(p, x, detect_fast.make_detect_block_fast)
+    oracle = sorted(
+        (dict(id=b["id"], start=b["start"], stop=b["stop"],
+              last=b["last"], bin=b["bin"], mag=float(b["mag"]),
+              noise=float(b["noise"])) for b in want_det.gone),
+        key=lambda r: r["id"])
+    check_same(got, oracle)
+
+
+def test_fast_squelch():
+    p = small_params(max_bursts=4, max_new_per_frame=4)
+    n = p.block_samples
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64) * np.float32(0.01 / np.sqrt(2))
+    i0 = int(0.1 * p.sample_rate)
+    x[i0:i0 + 20000] += (0.5 * (rng.standard_normal(20000)
+                                + 1j * rng.standard_normal(20000))
+                         ).astype(np.complex64)
+    want, _ = run_impl(p, x, detect.make_detect_block)
+    got, _ = run_impl(p, x, detect_fast.make_detect_block_fast)
+    check_same(got, want)

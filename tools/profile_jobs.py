@@ -97,8 +97,11 @@ def main():
 
     B = 128
     sel = ginfo["small"][:B]
+    flat_start = (ginfo["tile"].astype(np.int64) * pipe._wg.ALIGN
+                  + ginfo["r"] + ginfo["shift_dec"].astype(np.int64)
+                  * pipe.dmp.decimation)
     params1 = np.zeros((3, B), np.int32)
-    params1[0, :len(sel)] = ginfo["flat_start"][sel]
+    params1[0, :len(sel)] = flat_start[sel]
     params1[1, :len(sel)] = ginfo["ext_len"][sel]
     params1[2, :len(sel)] = ginfo["bin"][sel]
 
