@@ -183,7 +183,7 @@ def run_child(args) -> None:
     # LLR transfer, fetches aggregated over agg_blocks.
     pipe = Pipeline(det_cfg=det, burst_batch=args.burst_batch,
                     start_time_ns=1_700_000_000_000_000_000,
-                    use_pallas=False if args.no_pallas else None,
+                    fir_mode="conv" if args.no_pallas else "mxu",
                     want_llr=False,
                     agg_blocks=args.agg_blocks,
                     group_jobs=args.group_jobs)
@@ -210,10 +210,20 @@ def run_child(args) -> None:
     jax.block_until_ready([b for b, _ in blocks])
     log(f"staged {len(blocks)} blocks in HBM")
 
-    # Warm run over the FULL capture: compiles every steady-state
-    # executable (detect step, both group processors, the fixed-arity
-    # stack/concat/fetch helpers) on exactly the shapes the timed runs
-    # will use.
+    # Serial pre-compile pass: first compiles issued CONCURRENTLY from
+    # run_blocks' finish threads can wedge the TPU tunnel, so compile
+    # every steady-state executable with strictly serial dispatches
+    # first (one group of agg_blocks covers the step, both group
+    # processors and the fixed-arity stack/concat/fetch helpers).
+    t0 = time.perf_counter()
+    ctxs = [pipe._dispatch_step(b, nv)
+            for b, nv in blocks[:pipe.agg_blocks]]
+    n_pre = sum(len(fl) for fl in pipe._finish_group(ctxs))
+    log(f"serial precompile: {n_pre} frames in "
+        f"{time.perf_counter()-t0:.1f} s")
+    pipe.reset(start_time_ns=1_700_000_000_000_000_000)
+
+    # Warm run over the FULL capture (threaded, like the timed runs)
     t0 = time.perf_counter()
     n_warm = sum(len(fl) for fl in pipe.run_blocks(iter(blocks)))
     log(f"warm run: {n_warm} frames in {time.perf_counter()-t0:.1f} s")

@@ -38,11 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--file-info", default=None,
                    help="file info string for output (default: auto)")
     p.add_argument("--no-pallas", action="store_true",
-                   help="use the XLA verification path instead of Pallas "
-                        "kernels (cf. reference --no-simd/--no-gpu); "
-                        "this is currently the default")
-    p.add_argument("--pallas", action="store_true",
-                   help="opt into the experimental Pallas burst kernels")
+                   help="alias for --fir conv (the XLA verification "
+                        "path, cf. reference --no-simd/--no-gpu)")
     p.add_argument("--no-gardner", action="store_true",
                    help="disable Gardner timing recovery")
     p.add_argument("--parsed", action="store_true",
@@ -159,9 +156,7 @@ def main(argv=None) -> int:
                         burst_batch=args.burst_batch,
                         use_gardner=not args.no_gardner,
                         save_bursts_dir=args.save_bursts,
-                        use_pallas=True if args.pallas
-                        else (False if args.no_pallas else None),
-                        fir_mode=args.fir,
+                        fir_mode="conv" if args.no_pallas else args.fir,
                         want_llr=bool(decode_active),
                         agg_blocks=agg)
     printer = RawPrinter(args.file_info)

@@ -197,8 +197,6 @@ class DownmixOut(NamedTuple):
 def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
                      l_ext: int, max_frame_cap: int,
                      dec_cap: int | None = None,
-                     use_pallas: bool = False,
-                     pallas_interpret: bool = False,
                      fir_mode: str = "mxu"):
     """Build the single-burst downmix function (vmap over the batch dim).
 
@@ -211,10 +209,9 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
     covers the longest legal burst. Smaller window variants (the
     pipeline's short-burst bucket) pass a proportionally smaller cap.
 
-    `use_pallas` fuses the coarse rotate + decimating FIR into the
-    Pallas VMEM kernel (ops/pallas_fir.py) — same exact integer phase,
-    the rotated full-rate signal never round-trips HBM. The XLA path is
-    kept as the verification reference (the analogue of the reference's
+    `fir_mode` selects the rotate+decimate implementation: "mxu"
+    (polyphase-matmul production path) or "conv" (the strided-conv
+    verification reference — the analogue of the reference's
     --no-simd/--no-gpu switches, ARCHITECTURE.md:638).
     """
     c = make_consts(dmp)
@@ -256,13 +253,6 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
     dl_pre_off = int(iridium.PREAMBLE_LENGTH_SHORT * sps)
     ul_pre_off = int(32 * sps)
 
-    rot_dec = None
-    if use_pallas:
-        from ..ops import pallas_fir
-        rot_dec = pallas_fir.make_rotate_decimate(
-            l_ext, dec_cap, decim, input_taps, F,
-            interpret=pallas_interpret)
-
     def rotate_decimate_xla(x, k):
         """Steps 1+2 (conv path): exact integer-phase coarse CFO rotate +
         valid strided decimating FIR (burst_downmix.c:663-679)."""
@@ -288,8 +278,7 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
     #    J = ceil(ntaps/D). TAPM is ~1/8 dense (zeros elsewhere), so the
     #    MXU does ~8x the minimal FLOPs but at full tiling — measured
     #    ~5x faster than the 1-channel strided conv XLA emits, and it
-    #    needs no Pallas (cf. ops/pallas_fir.py, which implements the
-    #    modulated-taps variant of the same identity).
+    #    needs no hand-written kernel.
     # X2 rows are built from two shifted reshapes (no im2col gather).
     _SB = 128
     _J = (in_ntaps + decim - 1) // decim
@@ -508,10 +497,7 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
         xs = jax.vmap(
             lambda s: jax.lax.dynamic_slice(stream, (s,), (l_ext,)))(starts)
         ks = bins - F // 2
-        if rot_dec is not None:
-            o_re, o_im = rot_dec(xs.real, xs.imag, ks)
-            dec_full = jax.lax.complex(o_re, o_im)
-        elif fir_mode == "mxu":
+        if fir_mode == "mxu":
             dec_full = rotate_decimate_mxu_batch(xs, ks)
         else:
             dec_full = jax.vmap(rotate_decimate_xla)(xs, ks)

@@ -242,7 +242,6 @@ class Pipeline:
                  use_gardner: bool = True,
                  start_time_ns: int | None = None,
                  save_bursts_dir: str | None = None,
-                 use_pallas: bool | None = None,
                  fir_mode: str = "mxu",
                  want_llr: bool = True,
                  agg_blocks: int = 4,
@@ -250,17 +249,6 @@ class Pipeline:
                  detect_impl: str = "fast"):
         det_cfg = det_cfg or DetectorConfig()
         dm_cfg = dm_cfg or DownmixConfig()
-        if use_pallas is None:
-            # Default OFF: the fused rotate+decimate kernel reproducibly
-            # crashes the v5e worker through this environment's TPU
-            # runtime (UNAVAILABLE at the first burst batch; A/B-isolated
-            # against the XLA path, which runs the same capture cleanly).
-            # The MXU polyphase-matmul path (fir_mode="mxu") delivers the
-            # kernel's intent in pure XLA; the strided-conv path
-            # (fir_mode="conv") remains the verification reference
-            # (cf. --no-simd, ARCHITECTURE.md:638).
-            use_pallas = False
-        self.use_pallas = use_pallas
         self.fir_mode = fir_mode
         # want_llr: whether packed rows carry per-bit LLRs. The RAW-line
         # output (the reference's headline benchmark mode,
@@ -382,6 +370,10 @@ class Pipeline:
         self._zeros_ext = jax.jit(
             lambda: jnp.zeros((l_ext,), jnp.complex64))
 
+    def _max_symbols_for(self, frame_cap: int) -> int:
+        sps = self.dmp.samples_per_symbol
+        return int(frame_cap / (sps - 0.5)) + 4
+
     def _build_burst_processor(self):
         """Two window-size buckets: the full window covers the longest
         legal burst (~90 ms, reference iridium.h:49-52) but typical
@@ -414,30 +406,55 @@ class Pipeline:
                 self.l_small, dec_cap_small)
         else:
             self.process_small = self.process_fn
-        self.group_small = self._make_group_processor(
-            self.l_small, dec_cap_small, self.group_jobs, self.burst_batch)
+
+        # Demod-length buckets: only the simplex band (ring alert /
+        # paging, above SIMPLEX_FREQUENCY_MIN) can carry the long 444-
+        # symbol frames (iridium.h MAX_FRAME_LENGTH_*); everything else
+        # is capped at 191 symbols, which halves the demod scan and the
+        # extraction shapes for ~95% of traffic. Routing is by detector
+        # bin with a margin that over-covers the largest possible fine-
+        # CFO correction, so a burst the device could classify simplex
+        # ALWAYS takes the simplex processor (exactness preserved).
+        p_ = self.p
+        margin_hz = 150e3
+        self.simplex_bin_min = int(np.floor(
+            (iridium.SIMPLEX_FREQUENCY_MIN - margin_hz
+             - p_.center_frequency) * p_.fft_size / p_.sample_rate)
+        ) + p_.fft_size // 2
+        cap_n = int(iridium.MAX_FRAME_LENGTH_NORMAL
+                    * dmp.samples_per_symbol) + 8
+        self.group_small_n = self._make_group_processor(
+            self.l_small, dec_cap_small, self.group_jobs,
+            self.burst_batch, frame_cap=cap_n)
+        self.group_small_s = self._make_group_processor(
+            self.l_small, dec_cap_small, max(self.group_jobs // 4, 1),
+            self.batch_large)
         self.group_large = self._make_group_processor(
             self.l_ext, dec_cap_large, max(self.group_jobs // 4, 1),
             self.batch_large)
 
     def _make_group_processor(self, l_win: int, dec_cap: int,
-                              J: int, Bb: int):
+                              J: int, Bb: int,
+                              frame_cap: int | None = None):
         """jit((flat_stream, params (J, 5, Bb) i32) -> (J, Bb, W) i32):
         J burst batches of Bb bursts each, gathered from the group's
         concatenated block streams by the Pallas window-gather kernel
         (XLA fallback off-TPU), downmixed, demodulated, packed.
 
         params rows: [start_tile, fine_shift_r, ext_len, bin, shift_dec]
-        (see ops/window_gather.py for the start decomposition)."""
+        (see ops/window_gather.py for the start decomposition).
+        `frame_cap` caps the extracted frame / demod symbol count (the
+        normal-band bucket; packed rows stay at the global width)."""
         import jax as _jax
         p, dmp = self.p, self.dmp
         wg = self._wg
+        if frame_cap is None:
+            frame_cap = dmp.max_frame_samples
         dm_one = downmix.make_downmix_one(p, dmp, l_win,
-                                          dmp.max_frame_samples,
+                                          frame_cap,
                                           dec_cap=dec_cap,
-                                          use_pallas=self.use_pallas,
                                           fir_mode=self.fir_mode)
-        demod_one = demod_mod.make_demod(dmp.max_symbols,
+        demod_one = demod_mod.make_demod(self._max_symbols_for(frame_cap),
                                          dmp.samples_per_symbol,
                                          self.use_gardner)
         want_llr = self.want_llr
@@ -472,7 +489,6 @@ class Pipeline:
         dm_one = downmix.make_downmix_one(p, dmp, l_win,
                                           dmp.max_frame_samples,
                                           dec_cap=dec_cap,
-                                          use_pallas=self.use_pallas,
                                           fir_mode=self.fir_mode)
         demod_one = demod_mod.make_demod(dmp.max_symbols,
                                          dmp.samples_per_symbol,
@@ -595,8 +611,11 @@ class Pipeline:
             return self._finish_group_legacy(ctxs, blocks_g)
 
         ginfo = self._route_group(blocks_g)
+        small = ginfo["small"]
+        sim = ginfo["bin"][small] >= self.simplex_bin_min
         rounds = []       # (proc, params (J,5,Bb) np, meta (J,Bb) np)
-        for proc, idx in ((self.group_small, ginfo["small"]),
+        for proc, idx in ((self.group_small_n, small[~sim]),
+                          (self.group_small_s, small[sim]),
                           (self.group_large, ginfo["large"])):
             J, Bb = proc.n_jobs, proc.batch
             per_round = J * Bb

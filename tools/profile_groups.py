@@ -98,8 +98,11 @@ def main():
         if not blocks_g:
             continue
         ginfo = pipe._route_group(blocks_g)
+        small = ginfo["small"]
+        sim = ginfo["bin"][small] >= pipe.simplex_bin_min
         rounds = []
-        for proc, idx in ((pipe.group_small, ginfo["small"]),
+        for proc, idx in ((pipe.group_small_n, small[~sim]),
+                          (pipe.group_small_s, small[sim]),
                           (pipe.group_large, ginfo["large"])):
             J, Bb = proc.n_jobs, proc.batch
             per_round = J * Bb

@@ -121,8 +121,8 @@ def main():
         # trace ONE group-processor dispatch (the production path) and
         # one detect step, with real data/params
         ginfo2 = ginfo
-        J = pipe.group_small.n_jobs
-        Bb = pipe.group_small.batch
+        J = pipe.group_small_n.n_jobs
+        Bb = pipe.group_small_n.batch
         params_g = np.zeros((J, 5, Bb), np.int32)
         for j in range(J):
             s = ginfo2["small"][j * Bb:(j + 1) * Bb]
@@ -132,10 +132,10 @@ def main():
             params_g[j, 3, :len(s)] = ginfo2["bin"][s]
             params_g[j, 4, :len(s)] = ginfo2["shift_dec"][s]
         pg = jnp.asarray(params_g)
-        out = pipe.group_small(flat, pg)      # compile
+        out = pipe.group_small_n(flat, pg)      # compile
         np.asarray(out[0, 0, :1])
         with jax.profiler.trace(args.trace):
-            out = pipe.group_small(flat, pg)
+            out = pipe.group_small_n(flat, pg)
             np.asarray(out[0, 0, :1])
             s2 = pipe._dispatch_step(blocks[0], bs)
             np.asarray(s2[1][:1, :1])
@@ -143,7 +143,7 @@ def main():
         return
 
     # 2. group processor (lax.map, J=12) with real params
-    J = pipe.group_small.n_jobs
+    J = pipe.group_small_n.n_jobs
     params = np.zeros((J, 3, B), np.int32)
     for j in range(J):
         s = ginfo["small"][j * B:(j + 1) * B]
@@ -153,7 +153,7 @@ def main():
 
     def gstep(x):
         pr, _ = x
-        pf = pipe.group_small(flat, pr)
+        pf = pipe.group_small_n(flat, pr)
         dep = (pf[0, 0, -1] & 0)
         return (jnp.asarray(params) + dep, pf)
 
