@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decimating-FIR implementation: 'mxu' "
                         "polyphase-matmul (default) or the 'conv' "
                         "verification path (cf. reference --no-simd)")
+    p.add_argument("--gather", choices=("auto", "pallas", "xla"),
+                   default="auto",
+                   help="burst-window gather implementation: 'auto' = "
+                        "Pallas kernel on TPU / XLA elsewhere; force "
+                        "'xla' to A/B the kernel on real hardware "
+                        "(cf. reference --no-simd, ARCHITECTURE.md:638)")
     p.add_argument("--mesh", type=int, metavar="N",
                    help="run the capture through the N-device sharded "
                         "SPMD pipeline (multi-chip; with "
@@ -158,7 +164,8 @@ def main(argv=None) -> int:
                         save_bursts_dir=args.save_bursts,
                         fir_mode="conv" if args.no_pallas else args.fir,
                         want_llr=bool(decode_active),
-                        agg_blocks=agg)
+                        agg_blocks=agg,
+                        gather_mode=args.gather)
     printer = RawPrinter(args.file_info)
 
     zmq_sock = None
@@ -370,12 +377,13 @@ def main(argv=None) -> int:
         print("profile: per-stage cumulative wall seconds "
               "(threads overlap; ratios localize the bottleneck):",
               file=sys.stderr)
-        for k in ("step_dispatch", "gone_fetch_wait", "burst_fetch_wait",
-                  "host_format"):
+        for k in ("step_dispatch", "group_dispatch", "result_fetch_wait",
+                  "host_parse", "host_format"):
             print(f"profile:   {k:<18} {t[k]:8.3f} s "
                   f"({t[k] / nb * 1e3:7.2f} ms/block)", file=sys.stderr)
         print(f"profile:   blocks={t['n_blocks']} "
-              f"burst_batches={t['n_burst_batches']}; "
+              f"groups={t['n_groups']} "
+              f"overflow_rounds={t['n_overflow_rounds']}; "
               f"trace written to {args.profile}", file=sys.stderr)
 
     # Shutdown summary prints unconditionally, like the reference

@@ -36,7 +36,9 @@ reference's own drop-on-full queues, burst_detect.c:929-937; counted):
     reference's live 10 MHz density);
   * > E_DEL natural deletions or > E_SQ squelch emissions in one frame:
     the excess bursts are dropped and counted into n_tagged-without-
-    emission (the host's d: counter);
+    emission (the host's d: counter); the burst-mask subtraction uses
+    the FULL deletion flags (not the capped emission rows), so dropped
+    emissions never leave stale coverage behind;
   * two noise-resets inside one 64-frame chunk may keep a stale history
     row (the affected rows are fully rewritten before `primed` re-arms,
     so at most one evicted value H updates later is off).
@@ -59,6 +61,22 @@ E_DEL = 8          # natural-deletion emissions per frame
 E_SQ = 16          # squelch emissions per frame
 E_TOT = E_DEL + E_SQ
 
+_warned_clamp = False
+
+
+def _warn_clamp_once(configured: int, used: int) -> None:
+    """Runtime-visible note that the branchless unroll clamps the
+    configured per-frame creation budget (the excess creates on later
+    frames while still above threshold; see the divergence list in the
+    module docstring)."""
+    global _warned_clamp
+    if not _warned_clamp:
+        _warned_clamp = True
+        import sys
+        print(f"detect_fast: clamping burst creations to {used}/frame "
+              f"(max_new_per_frame={configured}); excess peaks create "
+              "on later frames", file=sys.stderr)
+
 
 def make_detect_block_fast(p: DetectorParams):
     """Returns detect(samples, state, n_valid) -> new DetectorState, with
@@ -74,6 +92,8 @@ def make_detect_block_fast(p: DetectorParams):
     bin_width = np.float32(p.sample_rate) / np.float32(F)
     f2 = np.float32(F) * np.float32(F)
     K_CREATE = max(1, min(4, p.max_new_per_frame))
+    if p.max_new_per_frame > K_CREATE:
+        _warn_clamp_once(p.max_new_per_frame, K_CREATE)
     window = windows.blackman(F) / np.float32(0.42)
 
     n_frames = p.frames_per_block
@@ -97,16 +117,6 @@ def make_detect_block_fast(p: DetectorParams):
     iota_b = np.arange(B, dtype=np.int32)
     iota_f = np.arange(F, dtype=np.int32)
     iota_2c = np.arange(C2, dtype=np.int32)
-
-    def mask_of(a_valid, a_bin):
-        """update_burst_mask: coverage count over +-half_bw of every
-        active burst (full recompute, like the reference)."""
-        lo = jnp.clip(a_bin - half_bw, 0, F - 1)
-        hi = jnp.clip(a_bin + half_bw, 0, F - 1)
-        cov = ((iota_f[None, :] >= lo[:, None])
-               & (iota_f[None, :] <= hi[:, None])
-               & a_valid[:, None])
-        return jnp.sum(cov.astype(jnp.int32), axis=0)
 
     def compact(flags, vals8, cap):
         """Rank-compact flagged rows of the (B, 8) i32 table into
@@ -196,18 +206,17 @@ def make_detect_block_fast(p: DetectorParams):
             baseline_sum, hidx, primed_i, upd_k, force_noise,
             evict_a)
 
-        # update_burst_mask after deletions: subtract the deleted
-        # intervals via edge one-hots + cumsum (equivalent to the
-        # reference's full recompute as long as <= E_DEL bursts
-        # delete in one frame — P ~ 1e-20 at realistic densities;
-        # mass deletion happens only via squelch, which zeroes the
-        # mask exactly)
-        del_bin = em_del[:, 4]
-        del_ok = em_del[:, 7] > 0
-        lo = jnp.clip(del_bin - half_bw, 0, F - 1)
-        hi = jnp.clip(del_bin + half_bw, 0, F - 1)
+        # update_burst_mask after deletions: subtract EVERY deleted
+        # burst's interval via edge one-hots + cumsum, built from the
+        # full (B,) deletion flags — not from the E_DEL-capped emission
+        # rows, so emission-capacity drops never leave stale coverage
+        # suppressing creation (exactly the reference's full recompute;
+        # the (B, F) edge matrix costs the same class of op as the
+        # `hit` mask-sum above)
+        lo = jnp.clip(a_bin - half_bw, 0, F - 1)
+        hi = jnp.clip(a_bin + half_bw, 0, F - 1)
         edges = jnp.sum(
-            jnp.where(del_ok[:, None],
+            jnp.where(flags[:, None],
                       (iota_f[None, :] == lo[:, None]).astype(jnp.int32)
                       - (iota_f[None, :] == hi[:, None] + 1)
                       .astype(jnp.int32),

@@ -246,10 +246,18 @@ class Pipeline:
                  want_llr: bool = True,
                  agg_blocks: int = 4,
                  group_jobs: int = 8,
-                 detect_impl: str = "fast"):
+                 detect_impl: str = "fast",
+                 gather_mode: str = "auto"):
         det_cfg = det_cfg or DetectorConfig()
         dm_cfg = dm_cfg or DownmixConfig()
         self.fir_mode = fir_mode
+        # gather_mode: "auto" = Pallas window-gather kernel on TPU, XLA
+        # fallback elsewhere; "pallas"/"xla" force one implementation —
+        # the --no-simd-style A/B seam (reference ARCHITECTURE.md:638)
+        # so the kernel can be verified against the XLA gather on real
+        # hardware, not just in interpret mode.
+        assert gather_mode in ("auto", "pallas", "xla"), gather_mode
+        self.gather_mode = gather_mode
         # want_llr: whether packed rows carry per-bit LLRs. The RAW-line
         # output (the reference's headline benchmark mode,
         # README.md:215-224) does not need them; the protocol decoders
@@ -426,12 +434,23 @@ class Pipeline:
         self.group_small_n = self._make_group_processor(
             self.l_small, dec_cap_small, self.group_jobs,
             self.burst_batch, frame_cap=cap_n)
+        # simplex capacity: the simplex band is a few percent of a full
+        # 10 MHz capture but bursty (ring-alert blasts); size it at half
+        # the normal job count so a typical group never overflows (empty
+        # jobs cost ~nothing — see the lax.cond skip in the processor)
         self.group_small_s = self._make_group_processor(
-            self.l_small, dec_cap_small, max(self.group_jobs // 4, 1),
+            self.l_small, dec_cap_small, max(self.group_jobs // 2, 1),
             self.batch_large)
         self.group_large = self._make_group_processor(
             self.l_ext, dec_cap_large, max(self.group_jobs // 4, 1),
             self.batch_large)
+        for cls, proc in enumerate((self.group_small_n,
+                                    self.group_small_s,
+                                    self.group_large)):
+            proc.cls = cls
+        self._class_procs = [self.group_small_n, self.group_small_s,
+                             self.group_large]
+        self._fused_cache = {}
 
     def _make_group_processor(self, l_win: int, dec_cap: int,
                               J: int, Bb: int,
@@ -460,9 +479,13 @@ class Pipeline:
         want_llr = self.want_llr
         s2_pad = 2 * dmp.max_symbols
         on_tpu = _jax.default_backend() == "tpu"
-        gfn = wg.make_window_gather(l_win) if on_tpu else None
+        use_pallas = (self.gather_mode == "pallas"
+                      or (self.gather_mode == "auto" and on_tpu))
+        gfn = wg.make_window_gather(l_win) if use_pallas else None
 
-        def one(flat_stream, planes, pr):
+        W = packed_width(dmp.max_symbols, want_llr)
+
+        def one_live(flat_stream, planes, pr):
             starts2 = jnp.stack([pr[0], pr[1]], axis=1)
             if gfn is not None:
                 xs_re, xs_im = gfn(planes[0], planes[1], starts2)
@@ -474,12 +497,24 @@ class Pipeline:
                                      dm.direction)
             return pack_outputs(dm, dd, want_llr=want_llr, s2_pad=s2_pad)
 
-        def process_group(flat_stream, params):
-            planes = wg.stream_planes(flat_stream)
+        def one(flat_stream, planes, pr):
+            # skip fully-padded jobs (classes are capacity-sized for the
+            # dense case; sparse groups shouldn't pay full batch cost)
+            return jax.lax.cond(
+                jnp.any(pr[2] > 0),
+                lambda: one_live(flat_stream, planes, pr),
+                lambda: jnp.zeros((Bb, W), jnp.int32))
+
+        def process_group_planes(flat_stream, planes, params):
             return jax.lax.map(
                 lambda pr: one(flat_stream, planes, pr), params)
 
+        def process_group(flat_stream, params):
+            planes = wg.stream_planes(flat_stream)
+            return process_group_planes(flat_stream, planes, params)
+
         fn = jax.jit(process_group)
+        fn.raw = process_group_planes   # for the fused group program
         fn.n_jobs = J
         fn.batch = Bb
         return fn
@@ -508,21 +543,24 @@ class Pipeline:
 
     # ---- block processing ----
     #
-    # Two-phase, software-pipelined, and GROUP-AGGREGATED:
-    # _dispatch_step enqueues block k's fused device step and returns
-    # immediately with device handles; groups of `agg_blocks` blocks are
-    # then finished together — ONE stacked gone-table fetch RPC, one
-    # back-to-back dispatch of every group burst batch, and ONE
-    # concatenated packed-row fetch RPC for the whole group. The driver
-    # keeps dispatching later blocks' steps while a group's two fetches
-    # are in flight, so the device queue never drains. Rationale: device
-    # compute is ~1 ms/block (tools/microbench.py) while a single fetch
-    # RPC through this environment's TPU tunnel costs ~65 ms
-    # (tools/tunnel_probe.py) — the tunnel, not the TPU, sets the block
-    # rate, so RPC count per block is THE number to minimize. This is
-    # the TPU-native analogue of the reference's detector/downmix/demod
-    # thread overlap (main.c:666-734), with the queue depth re-tuned for
-    # a high-latency device link.
+    # FULLY DEVICE-ROUTED and GROUP-AGGREGATED: _dispatch_step enqueues
+    # block k's fused detect step and returns immediately with device
+    # handles; groups of `agg_blocks` blocks are then finished by ONE
+    # fused dispatch (on-device burst routing + every burst batch) and
+    # ONE result-fetch RPC carrying [gone tables | routing meta | packed
+    # demod rows] for the whole group. No host decision sits between
+    # detect and demod: the gone table never crosses to the host before
+    # its bursts are processed. The driver keeps dispatching later
+    # blocks while a group's fetch is in flight, so the in-order device
+    # queue never drains. Rationale: measured device compute is ~0.4 ms
+    # of detect per 1.68 s block plus ~30 us per burst
+    # (tools/microbench.py), while ONE fetch RPC through this
+    # environment's TPU tunnel costs ~65 ms (tools/tunnel_probe.py) —
+    # the tunnel, not the TPU, sets the block rate, so blocking RPCs per
+    # group is THE number to minimize (now exactly 1). This is the
+    # TPU-native analogue of the reference's zero-copy detector->
+    # downmix->demod thread handoff (main.c:666-734), with the queue
+    # depth re-tuned for a high-latency device link.
 
     def _dispatch_step(self, samples, n_valid: int):
         p = self.p
@@ -552,14 +590,232 @@ class Pipeline:
         self.base_index += p.block_samples
         return ctx
 
+    def _fused_for(self, nb: int):
+        """Build (cached per group arity) the fused group program:
+
+          fused(streams, tables, floor, skips) -> 1-D i32 buffer
+
+        Routing (`_route_group`'s math) runs ON DEVICE over the stacked
+        gone tables: start decomposition for the gather kernel, length
+        clamp, small-normal/small-simplex/large class split, rank-
+        compaction into each class's fixed (J, 5, Bb) params via one
+        sort, then the three group processors — all inside one jitted
+        program chained directly after the detect steps on the in-order
+        device queue. The returned buffer concatenates
+          [gone tables (nb*(G+1)*6)] [class counts (3)]
+          [meta: flat burst index per packed row, -1 pad (sum caps)]
+          [packed demod rows (sum caps * W)]
+        so ONE fetch RPC finishes the whole group. `skips` supports the
+        rare overflow round: a class with more bursts than its J*Bb
+        capacity is re-dispatched with skip advanced by cap (same sort
+        order, next window) until drained."""
+        fn = self._fused_cache.get(nb)
+        if fn is not None:
+            return fn
+        p, wg = self.p, self._wg
+        G, bs, sl = p.gone_capacity, p.block_samples, self.stream_len
+        procs = self._class_procs
+        caps = [pr.n_jobs * pr.batch for pr in procs]
+        decim = self.dmp.decimation
+        ALIGN = wg.ALIGN
+        l_ext, l_small = self.l_ext, self.l_small
+        pre = p.burst_pre_len
+        simplex_min = self.simplex_bin_min
+        iota_G = np.arange(G, dtype=np.int32)
+        N = nb * G
+        iota_N = np.arange(N, dtype=np.int32)
+        off = (np.arange(nb, dtype=np.int32) * bs)[:, None]
+        soff = (np.arange(nb, dtype=np.int32) * (sl - bs))[:, None]
+        BIG = np.int32(2**31 - 1)
+
+        def fused(streams, tables, floor, skips):
+            flat = jnp.concatenate(streams)
+            tabs = jnp.stack(tables)                 # (nb, G+1, 6)
+            rows = tabs[:, 1:, :]
+            valid = iota_G[None, :] < tabs[:, 0, 0][:, None]
+            start, stop, bins = rows[..., 1], rows[..., 2], rows[..., 3]
+            # group-relative start, run-start clamp (floor = -base0)
+            t_cl = jnp.maximum(start + off, floor)
+            el = jnp.minimum(stop + off + pre - t_cl,
+                             np.int32(l_ext - ALIGN))
+            flats = t_cl + soff + np.int32(l_ext)
+            r = jnp.mod(flats, decim)
+            tile = (flats - r) // ALIGN
+            lead = flats - (tile * ALIGN + r)
+            ext_infl = el + lead
+            sd = lead // decim
+            small = ext_infl <= l_small
+            sim = bins >= simplex_min
+            cols = [x.reshape(N).astype(jnp.int32)
+                    for x in (tile, r, ext_infl, bins, sd)]
+            members = [(valid & small & ~sim).reshape(N),
+                       (valid & small & sim).reshape(N),
+                       (valid & ~small).reshape(N)]
+            planes = wg.stream_planes(flat)
+            parts, ncs, metas, outs = [tabs.reshape(-1)], [], [], []
+            for proc, cap, member in zip(procs, caps, members):
+                key = jnp.where(member, iota_N, BIG)
+                srt = jax.lax.sort([key] + cols, num_keys=1)
+                # pad so a skip window never clamps out of range
+                srt = [jnp.concatenate(
+                    [s, jnp.full((cap,), BIG if i == 0 else 0, jnp.int32)])
+                    for i, s in enumerate(srt)]
+                nk = jnp.sum(member.astype(jnp.int32))
+                ncs.append(nk)
+                skip = skips[proc.cls]
+                win = [jax.lax.dynamic_slice(s, (skip,), (cap,))
+                       for s in srt]
+                in_cap = np.arange(cap, dtype=np.int32) < (nk - skip)
+                metas.append(jnp.where(in_cap, win[0], -1))
+                J, Bb = proc.n_jobs, proc.batch
+                pr = jnp.stack([jnp.where(in_cap, w, 0) for w in win[1:]])
+                params = pr.reshape(5, J, Bb).transpose(1, 0, 2)
+                out = proc.raw(flat, planes, params)
+                outs.append(out.reshape(-1))
+            parts += [jnp.stack(ncs)] + metas + outs
+            return jnp.concatenate(parts)
+
+        fn = jax.jit(fused)
+        fn.caps = caps
+        self._fused_cache[nb] = fn
+        return fn
+
+    def _dispatch_group_fused(self, ctxs, skips: np.ndarray):
+        """Enqueue the fused routing+processing program for a group
+        (non-blocking; returns the device buffer handle)."""
+        fused = self._fused_for(len(ctxs))
+        streams = [c[0] for c in ctxs]
+        tables = [c[1] for c in ctxs]
+        floor = np.int32(max(-ctxs[0][2], -(2**31 - 1)))
+        t0 = time.perf_counter()
+        buf = _retry(lambda: fused(streams, tables, jnp.int32(floor),
+                                   jnp.asarray(skips.astype(np.int32))),
+                     tag="group dispatch")
+        with self._lock:
+            self.timing["group_dispatch"] += time.perf_counter() - t0
+        return buf
+
+    def _parse_group_buf(self, buf: np.ndarray, ctxs, skips: np.ndarray,
+                         out: list[list[dict]], first_round: bool):
+        """Host-side parse of one fetched group buffer. Returns
+        (new_skips, done): done=False means a class overflowed its
+        capacity and the group must be re-dispatched with new_skips."""
+        p, dmp = self.p, self.dmp
+        nb, G = len(ctxs), p.gone_capacity
+        caps = self._fused_for(nb).caps
+        T = nb * (G + 1) * 6
+        tabs = buf[:T].reshape(nb, G + 1, 6)
+        ncs = buf[T:T + 3].astype(np.int64)
+        o = T + 3
+        metas, rows_l = [], []
+        W = packed_width(dmp.max_symbols, self.want_llr)
+        for cap in caps:
+            metas.append(buf[o:o + cap])
+            o += cap
+        for cap in caps:
+            rows_l.append(buf[o:o + cap * W].reshape(cap, W))
+            o += cap * W
+
+        if first_round:
+            for bi in range(nb):
+                g_count = int(tabs[bi, 0, 0])
+                n_tagged = int(tabs[bi, 0, 1])
+                with self._lock:
+                    self.prev_tagged = max(self.prev_tagged, n_tagged)
+                    self.stats.n_detected += g_count
+                    self.stats.n_dropped = (self.prev_tagged
+                                            - self.stats.n_detected)
+
+        meta = np.concatenate(metas)
+        rows = np.concatenate(rows_l, axis=0)
+        sel = meta >= 0
+        new_skips = np.minimum(skips + np.asarray(caps, np.int64), ncs)
+        done = bool(np.all(ncs <= skips + np.asarray(caps, np.int64)))
+        if sel.any():
+            u = unpack_outputs(rows, dmp.max_symbols, self.want_llr)
+            with self._lock:
+                self.stats.n_handled += int((u["dm_ok"] & sel).sum())
+            ok = u["dm_ok"] & u["dd_ok"] & sel
+            with self._lock:
+                self.stats.n_ok += int(ok.sum())
+            if ok.any():
+                t1 = time.perf_counter()
+                base0 = ctxs[0][2]
+                jsel = np.nonzero(ok)[0]
+                flat = meta[jsel].astype(np.int64)
+                bi_a, gi_a = flat // G, flat % G
+                # reconstruct the alignment lead for timestamps (same
+                # math as the device routing, in int64)
+                s = tabs[bi_a, 1 + gi_a, 1].astype(np.int64)
+                absm = base0 + bi_a * p.block_samples + s
+                cl = np.maximum(absm, 0)
+                fpos = (cl - base0 - bi_a * p.block_samples
+                        + self.l_ext + bi_a * self.stream_len)
+                lead = (fpos % self._wg.ALIGN) - fpos % dmp.decimation
+                abs_al = cl - lead
+                for n, j in enumerate(jsel):
+                    bi, gi = int(bi_a[n]), int(gi_a[n])
+                    row = tabs[bi, 1 + gi]
+                    out[bi].append(build_frame(
+                        p, dmp, self.in_ntaps, self.start_time_ns,
+                        int(row[0]), int(row[3]),
+                        float(row[4:5].view(np.float32)[0]),
+                        float(row[5:6].view(np.float32)[0]),
+                        int(abs_al[n]), u, int(j)))
+                with self._lock:
+                    self.timing["host_format"] += time.perf_counter() - t1
+        return new_skips, done
+
     def _finish_group(self, ctxs) -> list[list[dict]]:
-        """Finish `agg_blocks` dispatched blocks with two fetch RPCs
-        total: one stacked gone-table fetch, one concatenated packed-row
-        fetch. Burst batches are formed GROUP-WIDE (a batch may span
-        blocks) and processed by the fixed-shape group processors — one
-        params upload + a static dispatch set per group, so steady state
-        never recompiles and never waits on per-job transfers. Returns
-        the per-block frame lists, in block order."""
+        """Finish `agg_blocks` dispatched blocks: one fused on-device
+        routing+processing dispatch + ONE result-fetch RPC (plus rare
+        overflow rounds). Returns per-block frame lists, in block order.
+        The save-bursts debug path takes the host-routed two-RPC flow
+        (_finish_group_host) because it needs live DownmixOut handles."""
+        if self.save_bursts_dir:
+            return self._finish_group_host(ctxs)
+        out: list[list[dict]] = [[] for _ in ctxs]
+        skips = np.zeros(3, np.int64)
+        buf_dev = self._dispatch_group_fused(ctxs, skips)
+        first = True
+        while True:
+            t0 = time.perf_counter()
+            try:
+                buf = np.asarray(buf_dev)
+            except jax.errors.JaxRuntimeError:   # pragma: no cover
+                # transient tunnel fault: re-issue the steps from their
+                # inputs, then the fused program
+                redone = []
+                for ctx in ctxs:
+                    _, stream2, _, packed2 = _retry(ctx[3],
+                                                    tag="step redo")
+                    redone.append((stream2, packed2, ctx[2], ctx[3]))
+                ctxs = redone
+                buf_dev = self._dispatch_group_fused(ctxs, skips)
+                buf = np.asarray(buf_dev)
+            with self._lock:
+                self.timing["result_fetch_wait"] += \
+                    time.perf_counter() - t0
+                if first:
+                    self.timing["n_groups"] += 1
+                else:
+                    self.timing["n_overflow_rounds"] += 1
+            t1 = time.perf_counter()
+            skips, done = self._parse_group_buf(buf, ctxs, skips, out,
+                                                first)
+            with self._lock:
+                self.timing["host_parse"] += time.perf_counter() - t1
+            first = False
+            if done:
+                break
+            buf_dev = self._dispatch_group_fused(ctxs, skips)
+        for frames in out:
+            frames.sort(key=lambda f: f["id"])
+        return out
+
+    def _finish_group_host(self, ctxs) -> list[list[dict]]:
+        """Host-routed flow (save-bursts/debug): one stacked gone-table
+        fetch, Python routing, one concatenated packed-row fetch."""
         t0 = time.perf_counter()
 
         def fetch_tables():

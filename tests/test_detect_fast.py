@@ -111,3 +111,72 @@ def test_fast_squelch():
     want, _ = run_impl(p, x, detect.make_detect_block)
     got, _ = run_impl(p, x, detect_fast.make_detect_block_fast)
     check_same(got, want)
+
+
+def test_fast_squelch_overflow_drop_accounting():
+    """Blast density that overflows the per-frame squelch emission
+    capacity (E_SQ=16): 20 established bursts + a 4-burst blast trip
+    squelch with 20 flagged emissions in one frame; the 4 beyond E_SQ
+    must be DROPPED but still counted in n_tagged (the host's d:
+    counter), per the documented bounded-capacity divergence class
+    (reference analogue: drop-on-full queues, burst_detect.c:929-937)."""
+    p = small_params(max_bursts=20, max_new_per_frame=8,
+                     burst_capacity=64)
+    F = p.fft_size
+    bw_hz = p.sample_rate / F
+    # 20 staggered long tones (4 creations/frame -> all active well
+    # before the blast), then 4 more at once; everything ends together
+    # so post-squelch recreation stays bounded
+    t_blast = 0.16
+    t_end = 0.165
+    events = []
+    for i in range(20):
+        f = -420_000.0 + i * 42_000.0
+        if abs(f) < 5 * bw_hz:          # keep off the DC notch
+            f += 6 * bw_hz
+        events.append((0.10 + 0.002 * i, t_end - (0.10 + 0.002 * i),
+                       f, 0.06))
+    for i in range(4):
+        f = 431_000.0 + i * 12_000.0
+        events.append((t_blast, t_end - t_blast, f, 0.06))
+    x = tone_capture(p, events)
+    got, st = run_impl(p, x, detect_fast.make_detect_block_fast)
+    n_tagged = int(st.n_tagged)
+    n_emitted = len(got)
+    # the squelch frame flags 20 bursts; 16 emit, >=4 drop (post-squelch
+    # recreation can add fully-emitted delete events but never drops)
+    assert n_tagged - n_emitted >= 4, (n_tagged, n_emitted)
+    assert n_emitted >= 16
+    # squelch emission burst: >=16 rows sharing one stop frame
+    from collections import Counter
+    stops = Counter(g["stop"] for g in got)
+    assert max(stops.values()) >= 16
+
+
+def test_fast_mass_deletion_mask_release():
+    """More than E_DEL=8 bursts deleting in ONE frame: the excess rows
+    drop from the emission table, but their +-half_bw mask coverage must
+    be fully released (the subtraction uses the deletion flags, not the
+    capped emission rows) — a second wave of bursts on the SAME bins
+    must all be created and emitted."""
+    p = small_params(max_new_per_frame=8, burst_capacity=64)
+    F = p.fft_size
+    n_tones = 12
+    freqs = [-300_000.0 + i * 52_000.0 for i in range(n_tones)]
+    freqs = [f if abs(f) > 8_000 else f + 26_000.0 for f in freqs]
+    wave1 = [(0.10 + 0.002 * i, 0.160 - (0.10 + 0.002 * i), f, 0.06)
+             for i, f in enumerate(freqs)]
+    # second wave starts after wave 1's post_len deletion window
+    wave2 = [(0.22 + 0.002 * i, 0.020, f, 0.06)
+             for i, f in enumerate(freqs)]
+    # two blocks so every wave-2 burst's post_len deletion window
+    # closes inside the capture
+    x = tone_capture(p, wave1 + wave2, n_blocks=2)
+    got, st = run_impl(p, x, detect_fast.make_detect_block_fast,
+                       n_blocks=2)
+    w1_end = int(0.165 * p.sample_rate)
+    wave2_rows = [g for g in got if g["start"] > w1_end]
+    wave2_bins = {g["bin"] for g in wave2_rows}
+    # every tone's bin neighborhood must reappear in wave 2
+    assert len(wave2_rows) >= n_tones, \
+        (len(wave2_rows), sorted(wave2_bins))
