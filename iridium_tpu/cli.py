@@ -155,8 +155,16 @@ def main(argv=None) -> int:
             print(f"error: --mesh {args.mesh} but only {len(devs)} "
                   "devices available", file=sys.stderr)
             return 2
+        if args.save_bursts:
+            print("warning: --save-bursts is not supported on the "
+                  "--mesh sharded path; ignoring", file=sys.stderr)
         pipe = ShardedPipeline(det, mesh=Mesh(devs, ("shards",)),
-                               burst_batch=args.burst_batch)
+                               burst_batch=args.burst_batch,
+                               use_gardner=not args.no_gardner,
+                               want_llr=bool(decode_active),
+                               fir_mode=("conv" if args.no_pallas
+                                         else args.fir),
+                               gather_mode=args.gather)
     else:
         pipe = Pipeline(det_cfg=det, dm_cfg=DownmixConfig(),
                         burst_batch=args.burst_batch,

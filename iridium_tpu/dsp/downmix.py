@@ -120,8 +120,13 @@ def _fir_valid_c(x: jax.Array, taps: jax.Array, stride: int = 1) -> jax.Array:
     convolutions (maps onto the MXU): out[i] = sum_k taps[k]*x[i*stride+k]."""
     lhs = jnp.stack([x.real, x.imag])[:, None, :]          # (2, 1, L)
     rhs = taps[None, None, :]                               # (1, 1, T)
+    # HIGH (bf16x3): without a precision request the TPU conv rounds
+    # operands to plain bf16 (seen as bf16 operand copies in profiler
+    # traces) — too coarse for the noise/RRC filters feeding bit-level
+    # demod decisions; bf16x3 restores ~f32-grade error at 3 passes
     out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(stride,), padding="VALID")
+        lhs, rhs, window_strides=(stride,), padding="VALID",
+        precision=jax.lax.Precision.HIGH)
     return jax.lax.complex(out[0, 0], out[1, 0])
 
 
@@ -138,7 +143,8 @@ def _fir_valid_f(x: jax.Array, taps: jax.Array) -> jax.Array:
     lhs = x[None, None, :]
     rhs = taps[None, None, :]
     out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding="VALID")
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        precision=jax.lax.Precision.HIGH)
     return out[0, 0]
 
 
@@ -151,23 +157,43 @@ def _shift_take(x: jax.Array, start: jax.Array, out_len: int) -> jax.Array:
     Two exact branchless levels over 128-lane rows:
       coarse: select rows q..q+nbo of x.reshape(-1, 128)  (q = start//128)
       fine:   rotate by r = start%128 using row pairs
-    Both are where-masked sums (bit-exact picks; a matmul formulation
-    would round through bf16 passes)."""
+    Both are ONE-HOT i32 MATMULS on the bitcast planes: each output
+    element is the product of exactly one input word and a 1, summed
+    with zeros — bit-exact, and the MXU runs it an order of magnitude
+    faster than the equivalent VPU where-masked sum (the round-3
+    formulation, which dominated the burst-job profile)."""
     r = start % 128
     q = start // 128
     nb = x.shape[0] // 128
-    A = x[:nb * 128].reshape(nb, 128)
+    # complex -> (nb, 128, 2) i32 word planes
+    W = jax.lax.bitcast_convert_type(
+        jnp.stack([x.real, x.imag], axis=-1), jnp.int32)
+    A = W[: nb * 128 * 2].reshape(nb, 128, 2) \
+        if W.ndim == 1 else W[:nb * 128].reshape(nb, 128, 2)
     nbo = out_len // 128 + 2      # fine stage consumes row PAIRS
-    # coarse row select: C[ro] = A[q + ro]
+    # coarse row select: C[ro] = A[q + ro] via (nbo, nb) one-hot matmul
     iota_nb = jax.lax.iota(jnp.int32, nb)
-    sel = (iota_nb[None, :] == (q + jax.lax.iota(jnp.int32, nbo)[:, None]))
-    C = jnp.sum(jnp.where(sel[:, :, None], A[None, :, :], 0), axis=1)
-    # fine rotate: out[u, v] = concat(C[u], C[u+1])[v + r]
-    F2 = jnp.concatenate([C[:-1], C[1:]], axis=1)        # (nbo-1, 256)
+    sel = (iota_nb[None, :]
+           == (q + jax.lax.iota(jnp.int32, nbo)[:, None])).astype(jnp.int32)
+    C = jax.lax.dot_general(
+        sel, A.reshape(nb, 256),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).reshape(nbo, 128, 2)
+    # fine rotate: out[u, v] = concat(C[u], C[u+1])[v + r] via a
+    # (256, 128) one-hot matmul shared by all rows
+    F2 = jnp.concatenate([C[:-1], C[1:]], axis=1)    # (nbo-1, 256, 2)
     iota256 = jax.lax.iota(jnp.int32, 256)
-    pick = (iota256[None, :] == (r + jax.lax.iota(jnp.int32, 128)[:, None]))
-    out = jnp.sum(jnp.where(pick[None, :, :], F2[:, None, :], 0), axis=2)
-    return out.reshape(-1)[:out_len]
+    pick = (iota256[:, None]
+            == (r + jax.lax.iota(jnp.int32, 128)[None, :])
+            ).astype(jnp.int32)                       # (256, 128)
+    out = jax.lax.dot_general(
+        F2.transpose(0, 2, 1).reshape(-1, 256), pick,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)             # (2*(nbo-1), 128)
+    out = out.reshape(nbo - 1, 2, 128).transpose(0, 2, 1)
+    planes = jax.lax.bitcast_convert_type(
+        out.reshape(-1, 2)[:out_len], jnp.float32)
+    return jax.lax.complex(planes[:, 0], planes[:, 1])
 
 
 def _pick1(vec: jax.Array, idx: jax.Array):
@@ -520,6 +546,10 @@ def make_downmix_one(det: DetectorParams, dmp: DownmixParams,
 
     downmix_one.batch = downmix_batch
     downmix_one.windows = downmix_windows
+    # pre-decimated entry (the fused Pallas front-end kernel produces
+    # dec_full directly; ops/fused_frontend.py)
+    downmix_one.from_dec = jax.vmap(downmix_from_dec)
+    downmix_one.input_taps = input_taps
     # expose the rotate+decimate stage for parity tests / profiling
     if fir_mode == "mxu":
         downmix_one.rotate_decimate = rotate_decimate_mxu_batch

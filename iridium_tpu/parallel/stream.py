@@ -10,17 +10,29 @@ Two jitted SPMD steps per block:
   detect_step: spectrogram with the FFT-frame axis time-sharded (the
     embarrassingly parallel bulk compute) -> `all_to_all` transpose to
     bin-sharded layout -> `ppermute` +-halo bin strips -> per-bin-shard
-    sequential burst state machine (global couplings — active-burst
-    count for the noise gate and squelch, burst_detect.c:438-454,
-    594-631 — are psum'd). Emits a tiny packed per-shard gone table and
-    the replicated block tail.
+    burst state machine. Default is the branchless chunked per-bin scan
+    (dsp/detect_fast.py) — the single-chip fast path — whose only
+    global couplings (active-burst count for the noise gate and
+    squelch, forced noise update on long bursts; burst_detect.c:
+    438-454, 516, 594-631) are three scalar psums per frame. The exact
+    per-frame scan (dsp/detect.py) remains available via
+    detect_impl="exact" as the verification twin.
 
-  process_step: burst downmix+demod with the sample axis TIME-sharded.
-    Each shard holds its slice plus an `l_ext` left halo from its ring
-    neighbor (`ppermute`; shard 0 splices the previous block's tail) —
-    no block-wide `all_gather`. The host routes each gone burst to the
-    shard whose time range contains its extraction-window END; since
-    window length <= l_ext, the halo always covers the window.
+  process_step: FULLY DEVICE-ROUTED burst downmix+demod, the sharded
+    twin of the single-chip fused group program (runtime/pipeline.py:
+    _fused_for). Each shard all_gathers the (tiny) gone tables over
+    ICI, computes the identical global routing (extraction window,
+    owner = time-shard containing the window end, small-normal /
+    small-simplex / large class split, gather-kernel start
+    decomposition), keeps the bursts IT owns, rank-compacts them into
+    fixed (J, 5, Bb) params per class, and runs the bucket processors
+    against its local halo-extended stream (left halo via a ring
+    `ppermute` chain; shard 0 splices the previous block's tail). The
+    result buffer [local gone table | per-class counts | meta | packed
+    demod rows] comes back in ONE fetch per block; per-shard batch
+    counts are independent (an idle shard's padded jobs are skipped by
+    a cond, so the most-loaded shard no longer sets every shard's
+    cost).
 
 Burst ids are globally unique via per-shard offset + stride; known
 divergence class vs single-chip: deep masking chains across bin-shard
@@ -28,8 +40,9 @@ borders (same tolerance class as the reference's own GPU-vs-CPU
 divergence, README.md:226).
 
 Multi-host: see parallel/distributed.py — the same mesh/steps span
-(hosts x chips); the driver all-gathers only the tiny gone tables so
-every host computes identical routing, and emits frames on host 0.
+(hosts x chips); every host fetches the identical result buffer (its
+addressable shards + a process allgather), so routing, stats and
+overflow rounds agree everywhere; emission stays host-0-only.
 """
 
 from __future__ import annotations
@@ -43,9 +56,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .. import iridium
 from ..config import DetectorConfig, DetectorParams, DownmixConfig, DownmixParams
 from ..dsp import demod as demod_mod
-from ..dsp import detect, downmix
+from ..dsp import detect, detect_fast, downmix
+from ..ops import window_gather as wg
 from ..ops import windows
 from ..runtime import pipeline as pl_mod
 
@@ -57,9 +72,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 class ShardedPipeline:
-    """SPMD detect + burst-process steps over an n-device mesh, plus a
-    multi-block host driver with the same frame-dict output contract as
-    the single-chip `runtime.pipeline.Pipeline`."""
+    """SPMD detect + fused burst-process steps over an n-device mesh,
+    plus a multi-block host driver with the same frame-dict output
+    contract as the single-chip `runtime.pipeline.Pipeline`."""
 
     def __init__(self,
                  det_cfg: DetectorConfig,
@@ -67,7 +82,12 @@ class ShardedPipeline:
                  mesh: Mesh | None = None,
                  burst_batch: int = 8,
                  use_gardner: bool = True,
-                 start_time_ns: int | None = None):
+                 start_time_ns: int | None = None,
+                 want_llr: bool = True,
+                 fir_mode: str = "mxu",
+                 gather_mode: str = "auto",
+                 detect_impl: str = "fast",
+                 group_jobs: int = 2):
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), (AXIS,))
         self.mesh = mesh
@@ -90,16 +110,35 @@ class ShardedPipeline:
             "bin shard narrower than burst mask halo"
         self.n_bins_local = self.own_bins + 2 * self.halo
         self.burst_batch = burst_batch
+        self.group_jobs = max(group_jobs, 1)
+        self.want_llr = want_llr
+        self.fir_mode = fir_mode
+        assert gather_mode in ("auto", "pallas", "xla"), gather_mode
+        self.gather_mode = gather_mode
+        self.detect_impl = detect_impl
         self.slice_len = p.block_samples // n
 
         in_ntaps = len(downmix.make_consts(dmp).input_taps)
         self.in_ntaps = in_ntaps
+        # Window sizing mirrors the single-chip pipeline: gather-kernel
+        # ALIGN granularity + one block of alignment lead
         self.l_ext = _round_up(
-            max(p.max_extract, (dmp.dec_cap - 1) * dmp.decimation + in_ntaps),
-            128)
+            max(p.max_extract,
+                (dmp.dec_cap - 1) * dmp.decimation + in_ntaps)
+            + wg.ALIGN,
+            wg.ALIGN)
+        self.l_small = min(self.l_ext, _round_up(
+            p.burst_pre_len + p.burst_post_len + 120_000 + in_ntaps
+            + wg.ALIGN, wg.ALIGN))
         # Ring hops needed so each shard's left halo spans l_ext samples
         # even when the per-shard time slice is shorter than a window.
         self.k_hops = -(-self.l_ext // self.slice_len)
+
+        margin_hz = 150e3
+        self.simplex_bin_min = int(np.floor(
+            (iridium.SIMPLEX_FREQUENCY_MIN - margin_hz
+             - p.center_frequency) * p.fft_size / p.sample_rate)
+        ) + p.fft_size // 2
 
         self._build(use_gardner)
         self.start_time_ns = start_time_ns
@@ -109,7 +148,9 @@ class ShardedPipeline:
 
     def init_state(self):
         """Stacked per-shard state, sharded over the mesh."""
-        shards = [detect.init_state(self.p, self.n_bins_local, id_offset=i)
+        mk = (detect_fast.init_state if self.detect_impl == "fast"
+              else detect.init_state)
+        shards = [mk(self.p, self.n_bins_local, id_offset=i)
                   for i in range(self.n)]
         stacked = jax.tree.map(lambda *xs: np.stack(xs), *shards)
         sh = NamedSharding(self.mesh, P(AXIS))
@@ -130,6 +171,76 @@ class ShardedPipeline:
 
     # ---- the SPMD steps ----
 
+    def _max_symbols_for(self, frame_cap: int) -> int:
+        sps = self.dmp.samples_per_symbol
+        return int(frame_cap / (sps - 0.5)) + 4
+
+    def _make_bucket(self, l_win: int, frame_cap: int, J: int, Bb: int,
+                     use_gardner: bool):
+        """One demod-length/window bucket: gather + downmix + demod +
+        pack over (J, 5, Bb) params against the local shard stream
+        (the sharded twin of pipeline._make_group_processor)."""
+        p, dmp = self.p, self.dmp
+        dec_cap = (l_win - self.in_ntaps) // dmp.decimation + 1
+        dm_one = downmix.make_downmix_one(p, dmp, l_win, frame_cap,
+                                          dec_cap=dec_cap,
+                                          fir_mode=self.fir_mode)
+        demod_one = demod_mod.make_demod(
+            self._max_symbols_for(frame_cap),
+            dmp.samples_per_symbol, use_gardner)
+        want_llr = self.want_llr
+        s2_pad = 2 * dmp.max_symbols
+        on_tpu = jax.default_backend() == "tpu"
+        use_pallas = (self.gather_mode == "pallas"
+                      or (self.gather_mode == "auto" and on_tpu))
+        from ..ops import fused_frontend as ff
+        use_fused = use_pallas and ff.supports(p.fft_size,
+                                               dmp.decimation, l_win)
+        if use_fused:
+            fused_fn = ff.make_fused_frontend(
+                l_win, p.fft_size, dmp.decimation,
+                np.asarray(dm_one.input_taps))
+            ramp_fn = ff.make_ramp_table(p.fft_size)
+            gfn = None
+        else:
+            fused_fn = None
+            gfn = wg.make_window_gather(l_win) if use_pallas else None
+        W = pl_mod.packed_width(dmp.max_symbols, want_llr)
+
+        def one(stream, planes, pr):
+            def live():
+                starts2 = jnp.stack([pr[0], pr[1]], axis=1)
+                if fused_fn is not None:
+                    ramp = ramp_fn(pr[3] - p.fft_size // 2)
+                    dre, dim = fused_fn(planes[2], starts2, ramp)
+                    dec_full = jax.lax.complex(dre, dim)[:, :dec_cap]
+                    dm = dm_one.from_dec(dec_full, pr[2], pr[3], pr[4])
+                elif gfn is not None:
+                    xs_re, xs_im = gfn(planes[0], planes[1], starts2)
+                    dm = dm_one.windows(xs_re, xs_im, pr[2], pr[3],
+                                        pr[4])
+                else:
+                    xs_re, xs_im = wg.gather_windows_xla(
+                        stream, starts2, l_win)
+                    dm = dm_one.windows(xs_re, xs_im, pr[2], pr[3],
+                                        pr[4])
+                dd = jax.vmap(demod_one)(dm.samples, dm.n_samples,
+                                         dm.direction)
+                return pl_mod.pack_outputs(dm, dd, want_llr=want_llr,
+                                           s2_pad=s2_pad)
+
+            return jax.lax.cond(
+                jnp.any(pr[2] > 0), live,
+                lambda: jnp.zeros((Bb, W), jnp.int32))
+
+        def run(stream, planes, params):
+            return jax.lax.map(lambda pr: one(stream, planes, pr),
+                               params)
+
+        run.n_jobs = J
+        run.batch = Bb
+        return run
+
     def _build(self, use_gardner: bool):
         p, dmp, n = self.p, self.dmp, self.n
         F = p.fft_size
@@ -137,16 +248,15 @@ class ShardedPipeline:
         halo = self.halo
         own = self.own_bins
         ls = self.slice_len
-        l_ext = self.l_ext
+        l_ext, l_small = self.l_ext, self.l_small
         G = p.gone_capacity
         window = windows.blackman(F) / np.float32(0.42)
-        dm_one = downmix.make_downmix_one(p, dmp, l_ext,
-                                          dmp.max_frame_samples)
-        demod_one = demod_mod.make_demod(dmp.max_symbols,
-                                         dmp.samples_per_symbol, use_gardner)
-        DB = self.burst_batch
         perm_r = [(i, (i + 1) % n) for i in range(n)]
         perm_l = [(i, (i - 1) % n) for i in range(n)]
+        fast = self.detect_impl == "fast"
+        if fast:
+            run_fast = detect_fast.make_scan_fast(p, FL, axis_name=AXIS,
+                                                  id_stride=n)
 
         def bc_i32(v):
             return jax.lax.bitcast_convert_type(v, jnp.int32)
@@ -176,16 +286,21 @@ class ShardedPipeline:
             mag_ext = jnp.concatenate([left, magT, right], axis=1)
 
             # 3. burst state machine over this shard's bins
-            frame_step = detect.make_frame_step(
-                p, axis_name=AXIS, bin_lo=bin_lo, n_bins=FL,
-                own_lo=me * own, own_hi=(me + 1) * own, id_stride=n)
-            n_frames = frames_loc * n
-            idxs = np.arange(n_frames, dtype=np.int32) * F
-            active = (idxs + F) <= n_valid
-            state = detect.run_state_machine(mag_ext, idxs, active,
-                                             state, frame_step)
+            if fast:
+                state = run_fast(mag_ext, state, n_valid,
+                                 bin_lo=bin_lo, own_lo=me * own,
+                                 own_hi=(me + 1) * own)
+            else:
+                frame_step = detect.make_frame_step(
+                    p, axis_name=AXIS, bin_lo=bin_lo, n_bins=FL,
+                    own_lo=me * own, own_hi=(me + 1) * own, id_stride=n)
+                n_frames = frames_loc * n
+                idxs = np.arange(n_frames, dtype=np.int32) * F
+                active = (idxs + F) <= n_valid
+                state = detect.run_state_machine(mag_ext, idxs, active,
+                                                 state, frame_step)
 
-            # 4. packed per-shard gone table (single tiny i32 download)
+            # 4. packed per-shard gone table
             z = jnp.zeros((), jnp.int32)
             head = jnp.stack([state.g_count, state.n_tagged, z, z, z, z])
             rows = jnp.stack(
@@ -196,68 +311,151 @@ class ShardedPipeline:
             state = jax.tree.map(lambda x: x[None], state)
             return state, packed[None]
 
-        state_specs = jax.tree.map(lambda _: P(AXIS),
-                                   detect.init_state(self.p, FL))
+        init_for_specs = (detect_fast.init_state(self.p, FL) if fast
+                          else detect.init_state(self.p, FL))
+        state_specs = jax.tree.map(lambda _: P(AXIS), init_for_specs)
         detect_sm = jax.shard_map(
             shard_detect, mesh=self.mesh,
             in_specs=(P(AXIS), state_specs, P(), P()),
             out_specs=(state_specs, P(AXIS)),
             check_vma=False)
 
-        def detect_step(pairs, state, n_valid, do_rebase):
+        def detect_step(pairs, state, n_valid, do_rebase, prev_tail):
             state, packed = detect_sm(pairs, state, n_valid, do_rebase)
-            # replicated block tail for the next block's shard-0 halo
-            tail = jax.lax.dynamic_slice(
-                pairs, (p.block_samples - l_ext, 0), (l_ext, 2))
+            # replicated rolling tail for the next block's shard-0 halo
+            # (accumulated across blocks: l_ext may exceed one block)
+            tail = jnp.concatenate([prev_tail, pairs], axis=0)[-l_ext:]
             return state, packed, tail
 
         self.detect_step = jax.jit(
             detect_step,
             out_shardings=(
                 jax.tree.map(lambda _: NamedSharding(self.mesh, P(AXIS)),
-                             detect.init_state(self.p, FL)),
+                             init_for_specs),
                 NamedSharding(self.mesh, P(AXIS)),
                 NamedSharding(self.mesh, P())))
 
-        # -- burst processing (time-sharded with left halo) --
+        # -- fused on-device-routed burst processing --
 
+        cap_n = int(iridium.MAX_FRAME_LENGTH_NORMAL
+                    * dmp.samples_per_symbol) + 8
+        Bb = self.burst_batch
+        Bl = max(2, Bb // 8)
+        J = self.group_jobs
+        buckets = [
+            self._make_bucket(l_small, cap_n, J, Bb, use_gardner),
+            self._make_bucket(l_small, dmp.max_frame_samples,
+                              max(J // 2, 1), Bl, use_gardner),
+            self._make_bucket(l_ext, dmp.max_frame_samples,
+                              max(J // 4, 1), Bl, use_gardner),
+        ]
+        self.class_caps = [b.n_jobs * b.batch for b in buckets]
+        W = pl_mod.packed_width(dmp.max_symbols, self.want_llr)
+        self.packed_w = W
+        self.buf_len = ((G + 1) * 6 + 3 + sum(self.class_caps)
+                        + sum(self.class_caps) * W)
         k_hops = self.k_hops
-        # history splice: hist_tail left-padded with zeros to k_hops
-        # whole slices, so hop h of shard me reads slice (me-h-1) from it
-        # when that slice index is negative (before the block)
         hist_pad = k_hops * ls - l_ext
+        decim = dmp.decimation
+        ALIGN = wg.ALIGN
+        pre = p.burst_pre_len
+        simplex_min = self.simplex_bin_min
+        NG = n * G
+        iota_G = np.arange(G, dtype=np.int32)
+        iota_NG = np.arange(NG, dtype=np.int32)
+        BIG = np.int32(2**31 - 1)
 
-        def shard_process(pairs_loc, prev_tail, starts, ext_lens, bins):
-            # starts are LOCAL: relative to (shard_start - l_ext)
-            starts, ext_lens, bins = starts[0], ext_lens[0], bins[0]
+        def shard_process(pairs_loc, prev_tail, packed_loc, floor,
+                          skips):
+            me = jax.lax.axis_index(AXIS)
             local = jax.lax.complex(pairs_loc[:, 0], pairs_loc[:, 1])
             tail_c = jax.lax.complex(prev_tail[:, 0], prev_tail[:, 1])
             hist = jnp.concatenate(
                 [jnp.zeros((hist_pad,), jnp.complex64), tail_c])
-            me = jax.lax.axis_index(AXIS)
-            # left halo via a ring ppermute chain: after h+1 right-shifts
-            # each shard holds slice (me-h-1); hops that reach before the
-            # block splice the previous block's tail instead. Total halo
-            # traffic per shard ~= l_ext samples over ICI — no block-wide
-            # all_gather.
-            parts = []
-            cur = local
-            for h in range(k_hops):
-                cur = jax.lax.ppermute(cur, AXIS, perm_r)
-                src = me - h - 1
-                hist_part = jax.lax.dynamic_slice(
-                    hist, ((k_hops + src) * ls,), (ls,))
-                parts.append(jnp.where(src >= 0, cur, hist_part))
-            left = jnp.concatenate(parts[::-1])[-l_ext:]
+            if k_hops <= 2:
+                # left halo via a short ring ppermute chain (ICI
+                # traffic ~= l_ext samples per shard; the production
+                # regime: slices much longer than a burst window)
+                parts = []
+                cur = local
+                for h in range(k_hops):
+                    cur = jax.lax.ppermute(cur, AXIS, perm_r)
+                    src = me - h - 1
+                    hist_part = jax.lax.dynamic_slice(
+                        hist, ((k_hops + src) * ls,), (ls,))
+                    parts.append(jnp.where(src >= 0, cur, hist_part))
+                left = jnp.concatenate(parts[::-1])[-l_ext:]
+            else:
+                # window >= several slices (small-block configs): one
+                # all_gather of the block beats a k_hops-deep chain
+                blk = jax.lax.all_gather(local, AXIS, tiled=True)
+                full = jnp.concatenate([hist[-l_ext:], blk])
+                left = jax.lax.dynamic_slice(full, (me * ls,), (l_ext,))
             stream = jnp.concatenate(
                 [left, local, jnp.zeros((l_ext,), jnp.complex64)])
-            dm = dm_one.batch(stream, starts, ext_lens, bins)
-            dd = jax.vmap(demod_one)(dm.samples, dm.n_samples, dm.direction)
-            return pl_mod.pack_outputs(dm, dd)[None]
+
+            # global gone tables over ICI (tiny: n*(G+1)*6 i32)
+            tabs = jax.lax.all_gather(packed_loc[0], AXIS)  # (n,G+1,6)
+            rows = tabs[:, 1:, :]
+            valid = (iota_G[None, :] < tabs[:, 0, 0][:, None])
+            start, stop, bins = rows[..., 1], rows[..., 2], rows[..., 3]
+            # run-start clamp (floor = -base_index, <=0 after block 0)
+            start_rel = jnp.maximum(start, floor)
+            ext_len = jnp.minimum(stop + pre - start_rel,
+                                  np.int32(l_ext - ALIGN))
+            eff_end = start_rel + ext_len
+            owner = jnp.clip((eff_end - 1) // ls, 0, n - 1)
+            mine = owner == me
+            local_start = jnp.clip(start_rel - me * ls + l_ext,
+                                   0, l_ext + ls)
+            r = jnp.mod(local_start, decim)
+            tile = (local_start - r) // ALIGN
+            lead = local_start - (tile * ALIGN + r)
+            ext_infl = ext_len + lead
+            sd = lead // decim
+            small = ext_infl <= l_small
+            sim = bins >= simplex_min
+            cols = [x.reshape(NG).astype(jnp.int32)
+                    for x in (tile, r, ext_infl, bins, sd)]
+            members = [
+                (valid & mine & small & ~sim).reshape(NG),
+                (valid & mine & small & sim).reshape(NG),
+                (valid & mine & ~small).reshape(NG),
+            ]
+            pr_, pi_ = wg.stream_planes(stream)
+            from ..ops import fused_frontend as _ff
+            planes = (pr_, pi_, _ff.stack_planes(pr_, pi_))
+            outs, metas, ncs = [], [], []
+            for k, (bk, cap, member) in enumerate(
+                    zip(buckets, self.class_caps, members)):
+                key = jnp.where(member, iota_NG, BIG)
+                srt = jax.lax.sort([key] + cols, num_keys=1)
+                srt = [jnp.concatenate(
+                    [s, jnp.full((cap,), BIG if i == 0 else 0,
+                                 jnp.int32)])
+                    for i, s in enumerate(srt)]
+                nk = jnp.sum(member.astype(jnp.int32))
+                ncs.append(nk)
+                skip = skips[k]
+                win = [jax.lax.dynamic_slice(s, (skip,), (cap,))
+                       for s in srt]
+                in_cap = (np.arange(cap, dtype=np.int32)
+                          < (nk - skip))
+                metas.append(jnp.where(in_cap, win[0], -1))
+                pr = jnp.stack([jnp.where(in_cap, w, 0)
+                                for w in win[1:]])
+                params = pr.reshape(5, bk.n_jobs, bk.batch) \
+                    .transpose(1, 0, 2)
+                out = bk(stream, planes, params)
+                outs.append(out.reshape(-1))
+            buf = jnp.concatenate(
+                [packed_loc[0].reshape(-1), jnp.stack(ncs)]
+                + metas + outs)
+            return buf[None]
 
         process_sm = jax.shard_map(
             shard_process, mesh=self.mesh,
-            in_specs=(P(AXIS), P(), P(AXIS), P(AXIS), P(AXIS)),
+            in_specs=(P(AXIS), P(), P(AXIS), P(), P()),
             out_specs=P(AXIS),
             check_vma=False)
         self.process_step = jax.jit(process_sm)
@@ -276,9 +474,12 @@ class ShardedPipeline:
             samples, NamedSharding(self.mesh, P(AXIS)))
         prev_state, rebase = self.state, self._rebase
 
+        prev_tail = self.tail
+
         def dispatch():
             return self.detect_step(pairs, prev_state,
-                                    jnp.int32(n_valid), jnp.int32(rebase))
+                                    jnp.int32(n_valid), jnp.int32(rebase),
+                                    prev_tail)
 
         t0 = time.perf_counter()
         self.state, packed, tail = pl_mod._retry(dispatch, tag="detect step")
@@ -291,93 +492,101 @@ class ShardedPipeline:
         self.base_index += p.block_samples
         return ctx
 
-    def _finish_block(self, ctx) -> list[dict]:
+    def _dispatch_process(self, ctx, skips: np.ndarray):
         pairs, prev_tail, packed, base_index = ctx
-        p = self.p
+        floor = np.int32(max(-base_index, -(2**31 - 1)))
         t0 = time.perf_counter()
-        pk = self._fetch_gone(packed)          # (n, G+1, 6) i32
-        self.timing["gone_fetch_wait"] += time.perf_counter() - t0
-        counts = pk[:, 0, 0]
-        n_tagged = int(pk[:, 0, 1].sum())
-        self.prev_tagged = max(self.prev_tagged, n_tagged)
-        self.stats.n_detected += int(counts.sum())
-        self.stats.n_dropped = self.prev_tagged - self.stats.n_detected
-        if counts.sum() <= 0:
-            return []
+        buf = pl_mod._retry(
+            lambda: self.process_step(
+                pairs, prev_tail, packed, jnp.int32(floor),
+                jnp.asarray(skips.astype(np.int32))),
+            tag="sharded process")
+        self.timing["group_dispatch"] += time.perf_counter() - t0
+        return buf
 
-        # Flatten all shards' gone bursts, route by extraction-window end
-        rows = np.concatenate(
-            [pk[s, 1:1 + counts[s]] for s in range(self.n)], axis=0)
-        g = dict(id=rows[:, 0], start=rows[:, 1], stop=rows[:, 2],
-                 bin=rows[:, 3], mag=rows[:, 4].view(np.float32),
-                 noise=rows[:, 5].view(np.float32))
-        frames = self._demod_routed(pairs, prev_tail, g, base_index)
+    def _finish_block(self, ctx) -> list[dict]:
+        p, dmp, n, G = self.p, self.dmp, self.n, self.p.gone_capacity
+        caps = self.class_caps
+        W = self.packed_w
+        base_index = ctx[3]
+        frames: list[dict] = []
+        skips = np.zeros(3, np.int64)
+        first = True
+        while True:
+            buf_dev = self._dispatch_process(ctx, skips)
+            t0 = time.perf_counter()
+            buf = self._fetch_rows(buf_dev)          # (n, buf_len)
+            self.timing["result_fetch_wait"] += time.perf_counter() - t0
+            if first:
+                self.timing["n_groups"] += 1
+            else:
+                self.timing["n_overflow_rounds"] += 1
+            T = (G + 1) * 6
+            tabs = buf[:, :T].reshape(n, G + 1, 6)
+            ncs = buf[:, T:T + 3].astype(np.int64)   # (n, 3)
+            o = T + 3
+            metas, rows_l = [], []
+            for cap in caps:
+                metas.append(buf[:, o:o + cap])
+                o += cap
+            for cap in caps:
+                rows_l.append(buf[:, o:o + cap * W]
+                              .reshape(n, cap, W))
+                o += cap * W
+
+            if first:
+                counts = tabs[:, 0, 0]
+                n_tagged = int(tabs[:, 0, 1].sum())
+                self.prev_tagged = max(self.prev_tagged, n_tagged)
+                self.stats.n_detected += int(counts.sum())
+                self.stats.n_dropped = (self.prev_tagged
+                                        - self.stats.n_detected)
+
+            meta = np.concatenate(
+                [m.reshape(-1) for m in metas])
+            rows = np.concatenate(
+                [r.reshape(-1, W) for r in rows_l], axis=0)
+            sel = meta >= 0
+            if sel.any():
+                u = pl_mod.unpack_outputs(rows, dmp.max_symbols,
+                                          self.want_llr)
+                self.stats.n_handled += int((u["dm_ok"] & sel).sum())
+                ok = u["dm_ok"] & u["dd_ok"] & sel
+                self.stats.n_ok += int(ok.sum())
+                ls, l_ext = self.slice_len, self.l_ext
+                ALIGN = wg.ALIGN
+                for j in np.nonzero(ok)[0]:
+                    flat = int(meta[j])
+                    s, gi = flat // G, flat % G
+                    row = tabs[s, 1 + gi]
+                    # reconstruct the gather alignment lead exactly as
+                    # the device routing computed it (the delivered
+                    # window starts `lead` samples early; start_dec
+                    # already includes the matching shift_dec)
+                    start_rel = max(int(row[1]), -base_index)
+                    ext_len = min(int(row[2]) + p.burst_pre_len
+                                  - start_rel, l_ext - ALIGN)
+                    owner = min(max((start_rel + ext_len - 1) // ls, 0),
+                                n - 1)
+                    local_start = min(max(start_rel - owner * ls
+                                          + l_ext, 0), l_ext + ls)
+                    lead = (local_start % ALIGN) - (local_start
+                                                    % dmp.decimation)
+                    abs_al = start_rel + base_index - lead
+                    frames.append(pl_mod.build_frame(
+                        p, dmp, self.in_ntaps, self.start_time_ns,
+                        int(row[0]), int(row[3]),
+                        float(row[4:5].view(np.float32)[0]),
+                        float(row[5:6].view(np.float32)[0]),
+                        abs_al, u, j))
+            first = False
+            want = ncs.max(axis=0)                   # per-class max load
+            lim = skips + np.asarray(caps, np.int64)
+            if np.all(want <= lim):
+                break
+            skips = np.minimum(lim, want)
         frames.sort(key=lambda f: f["id"])
         return frames
-
-    def _demod_routed(self, pairs, prev_tail, g, base_index) -> list[dict]:
-        p, dmp, n, ls = self.p, self.dmp, self.n, self.slice_len
-        nb = len(g["id"])
-        abs_start = g["start"].astype(np.int64) + base_index
-        abs_start_cl = np.maximum(abs_start, 0)
-        start_rel = (abs_start_cl - base_index).astype(np.int64)
-        end = g["stop"].astype(np.int64) + p.burst_pre_len
-        ext_len = np.minimum(end - start_rel, self.l_ext).astype(np.int32)
-        # owner shard: the one whose [s*ls, (s+1)*ls) range contains the
-        # CLAMPED window end (over-long bursts are head-anchored, losing
-        # their tail — same as the single-chip window); window length
-        # <= l_ext so the owner's left halo always covers it
-        eff_end = start_rel + ext_len
-        owner = np.clip((eff_end - 1) // ls, 0, n - 1).astype(np.int64)
-        # start relative to the owner's local stream [halo | slice | pad]
-        local_start = (start_rel - owner * ls + self.l_ext)
-        local_start = np.clip(local_start, 0, self.l_ext + ls).astype(np.int32)
-
-        by_shard = [np.nonzero(owner == s)[0] for s in range(n)]
-        k_max = max(len(ix) for ix in by_shard)
-        DB = self.burst_batch
-        frames: list[dict] = []
-        for j0 in range(0, k_max, DB):
-            starts = np.zeros((n, DB), np.int32)
-            lens = np.zeros((n, DB), np.int32)
-            bins = np.zeros((n, DB), np.int32)
-            sel = np.full((n, DB), -1, np.int64)
-            for s in range(n):
-                ix = by_shard[s][j0:j0 + DB]
-                starts[s, :len(ix)] = local_start[ix]
-                lens[s, :len(ix)] = ext_len[ix]
-                bins[s, :len(ix)] = g["bin"][ix]
-                sel[s, :len(ix)] = ix
-
-            def dispatch():
-                pf = self.process_step(
-                    pairs, prev_tail,
-                    self._put_rows(starts), self._put_rows(lens),
-                    self._put_rows(bins))
-                return self._fetch_rows(pf)
-
-            t0 = time.perf_counter()
-            pf = pl_mod._retry(dispatch, tag="sharded burst batch")
-            self.timing["burst_fetch_wait"] += time.perf_counter() - t0
-            self.timing["n_burst_batches"] += 1
-            pf2 = pf.reshape(n * DB, pf.shape[-1])
-            u = pl_mod.unpack_outputs(pf2, dmp.max_symbols)
-            flat_sel = sel.reshape(-1)
-            valid = flat_sel >= 0
-            self.stats.n_handled += int((u["dm_ok"] & valid).sum())
-            ok = u["dm_ok"] & u["dd_ok"] & valid
-            self.stats.n_ok += int(ok.sum())
-            for j in np.nonzero(ok)[0]:
-                gi = int(flat_sel[j])
-                frames.append(pl_mod.build_frame(
-                    p, dmp, self.in_ntaps, self.start_time_ns,
-                    int(g["id"][gi]), int(g["bin"][gi]),
-                    float(g["mag"][gi]), float(g["noise"][gi]),
-                    int(abs_start_cl[gi]), u, j))
-        return frames
-
-    def _put_rows(self, arr: np.ndarray):
-        return jax.device_put(arr, NamedSharding(self.mesh, P(AXIS)))
 
     def _fetch_rows(self, pf) -> np.ndarray:
         """Fetch a P(AXIS)-sharded (n, ...) result to every host.
@@ -394,21 +603,16 @@ class ShardedPipeline:
             local, tiled=True))
 
     def _fetch_gone(self, packed) -> np.ndarray:
-        """Fetch the (n, G+1, 6) gone tables to EVERY host (they drive
-        routing, which must be identical across processes).
+        """Fetch the (n, G+1, 6) gone tables to EVERY host (detect-step
+        verification surface; the production routing happens on device).
 
-        Multihost: the tables are mostly empty (G rows of capacity,
-        a handful occupied), so allgathering them whole costs ~400 kB
-        of DCN per block at G=2048 x 8 shards. Instead: allgather the
-        tiny occupancy counts first, then allgather only the globally
-        maximal occupied prefix (identical K on every process, so the
-        collective shapes agree)."""
+        Multihost: the tables are mostly empty, so allgather the tiny
+        occupancy counts first, then only the globally maximal occupied
+        prefix (identical K on every process, so the collective shapes
+        agree)."""
         if jax.process_count() == 1:
             return np.asarray(packed)
         from jax.experimental import multihost_utils
-        # this process's shards, in global shard order (device order on
-        # the mesh is process-major, so concatenation across processes
-        # reassembles the global table)
         shards = sorted(packed.addressable_shards,
                         key=lambda s: s.index[0].start or 0)
         local = np.concatenate([np.asarray(s.data) for s in shards], axis=0)

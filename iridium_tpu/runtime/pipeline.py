@@ -319,7 +319,11 @@ class Pipeline:
     def reset(self, start_time_ns: int | None = None) -> None:
         """Fresh stream state; compiled executables are reused."""
         import collections
-        self.state = detect.init_state(self.p)
+        if self.detect_impl == "fast":
+            from ..dsp import detect_fast
+            self.state = detect_fast.init_state(self.p)
+        else:
+            self.state = detect.init_state(self.p)
         self.tail = self._zeros_ext()
         self._rebase = 0
         self.base_index = 0          # absolute sample index of block start
@@ -452,6 +456,17 @@ class Pipeline:
                              self.group_large]
         self._fused_cache = {}
 
+    @staticmethod
+    def _planes_fn():
+        from ..ops import fused_frontend as ff
+        from ..ops import window_gather as _wg
+
+        def make_planes(flat_stream):
+            pr, pi = _wg.stream_planes(flat_stream)
+            return (pr, pi, ff.stack_planes(pr, pi))
+
+        return make_planes
+
     def _make_group_processor(self, l_win: int, dec_cap: int,
                               J: int, Bb: int,
                               frame_cap: int | None = None):
@@ -467,6 +482,7 @@ class Pipeline:
         import jax as _jax
         p, dmp = self.p, self.dmp
         wg = self._wg
+        _make_planes = self._planes_fn()
         if frame_cap is None:
             frame_cap = dmp.max_frame_samples
         dm_one = downmix.make_downmix_one(p, dmp, l_win,
@@ -481,18 +497,37 @@ class Pipeline:
         on_tpu = _jax.default_backend() == "tpu"
         use_pallas = (self.gather_mode == "pallas"
                       or (self.gather_mode == "auto" and on_tpu))
-        gfn = wg.make_window_gather(l_win) if use_pallas else None
+        from ..ops import fused_frontend as ff
+        use_fused = use_pallas and ff.supports(p.fft_size,
+                                               dmp.decimation, l_win)
+        if use_fused:
+            # fused gather+rotate+decimate: never materializes the
+            # (B, l_win) windows (ops/fused_frontend.py)
+            fused_fn = ff.make_fused_frontend(
+                l_win, p.fft_size, dmp.decimation,
+                np.asarray(dm_one.input_taps))
+            ramp_fn = ff.make_ramp_table(p.fft_size)
+            gfn = None
+        else:
+            fused_fn = None
+            gfn = wg.make_window_gather(l_win) if use_pallas else None
 
         W = packed_width(dmp.max_symbols, want_llr)
 
         def one_live(flat_stream, planes, pr):
             starts2 = jnp.stack([pr[0], pr[1]], axis=1)
-            if gfn is not None:
-                xs_re, xs_im = gfn(planes[0], planes[1], starts2)
+            if fused_fn is not None:
+                ramp = ramp_fn(pr[3] - p.fft_size // 2)
+                dre, dim = fused_fn(planes[2], starts2, ramp)
+                dec_full = jax.lax.complex(dre, dim)[:, :dec_cap]
+                dm = dm_one.from_dec(dec_full, pr[2], pr[3], pr[4])
             else:
-                xs_re, xs_im = wg.gather_windows_xla(
-                    flat_stream, starts2, l_win)
-            dm = dm_one.windows(xs_re, xs_im, pr[2], pr[3], pr[4])
+                if gfn is not None:
+                    xs_re, xs_im = gfn(planes[0], planes[1], starts2)
+                else:
+                    xs_re, xs_im = wg.gather_windows_xla(
+                        flat_stream, starts2, l_win)
+                dm = dm_one.windows(xs_re, xs_im, pr[2], pr[3], pr[4])
             dd = jax.vmap(demod_one)(dm.samples, dm.n_samples,
                                      dm.direction)
             return pack_outputs(dm, dd, want_llr=want_llr, s2_pad=s2_pad)
@@ -510,7 +545,7 @@ class Pipeline:
                 lambda pr: one(flat_stream, planes, pr), params)
 
         def process_group(flat_stream, params):
-            planes = wg.stream_planes(flat_stream)
+            planes = _make_planes(flat_stream)
             return process_group_planes(flat_stream, planes, params)
 
         fn = jax.jit(process_group)
@@ -651,7 +686,7 @@ class Pipeline:
             members = [(valid & small & ~sim).reshape(N),
                        (valid & small & sim).reshape(N),
                        (valid & ~small).reshape(N)]
-            planes = wg.stream_planes(flat)
+            planes = self._planes_fn()(flat)
             parts, ncs, metas, outs = [tabs.reshape(-1)], [], [], []
             for proc, cap, member in zip(procs, caps, members):
                 key = jnp.where(member, iota_N, BIG)

@@ -29,7 +29,9 @@ def gone_sorted(state):
 
 def run_impl(p, samples, make, n_blocks=1):
     det = jax.jit(make(p))
-    state = detect.init_state(p)
+    state = (detect_fast.init_state(p)
+             if make is detect_fast.make_detect_block_fast
+             else detect.init_state(p))
     out = []
     base = 0
     for k in range(n_blocks):
