@@ -4,21 +4,20 @@ of `iridium-tpu -f -` (the reference's live-SDR operating mode,
 ARCHITECTURE.md:343-377; its published numbers are 83-95 ok/s on a
 10 MHz B210 stream).
 
-Two measurements on one synthetic 10 MHz capture (same generator as
-bench.py):
+Method: ONE CLI process is fed the synthetic capture REPS times
+back-to-back; every RAW line is timestamped on arrival and assigned to
+a repetition by its capture-relative time field. Startup/compile cost
+is excluded by measuring the span from the first line of repetition 2
+to the last line of the final repetition (steady state):
 
-  throughput: feed stdin as fast as the pipe accepts; realtime factor =
-    capture seconds / wall. This is the live path's capacity (agg=1:
-    every block pays its own fetch round-trip, unlike the offline
-    group-aggregated mode).
+  throughput_rtf = (REPS-1) * capture_s / steady_span
 
-  latency: feed stdin PACED at 1x realtime and timestamp every RAW
-    line on arrival. A line's output latency = arrival_wall -
-    (feed_start + line_capture_time). Reported p50/p95 include the
-    block accumulation delay (a burst waits for its ~fpb*fft/rate
-    second block to fill — the floor for any block-batched design).
+A second, PACED pass (stdin throttled to 1x realtime) measures output
+latency: arrival_wall - (feed_start + line_capture_time); p50/p95
+include the block-fill delay inherent to any block-batched design
+(frames_per_block * 8192 / rate seconds).
 
-Usage: python tools/bench_live.py [--blocks 4] [--skip-latency]
+Usage: python tools/bench_live.py [--blocks 4] [--reps 3]
 Prints one JSON line.
 """
 
@@ -37,20 +36,14 @@ REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 sys.path.insert(0, REPO)
 
 
-def spawn(rate, fpb):
-    env = dict(os.environ)
-    return subprocess.Popen(
+def run_mode(cap_bytes, rate, fpb, reps, paced, secs):
+    proc = subprocess.Popen(
         [sys.executable, "-m", "iridium_tpu.cli", "-f", "-",
          "--format", "cf32", "-r", str(rate),
          "--frames-per-block", str(fpb)],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL, cwd=REPO, env=env)
-
-
-def run_mode(cap_bytes, rate, fpb, paced: bool, secs: float):
-    proc = spawn(rate, fpb)
-    lines = []          # (arrival_wall, line)
-    done = threading.Event()
+        stderr=subprocess.DEVNULL, cwd=REPO)
+    lines = []
 
     def reader():
         for raw in proc.stdout:
@@ -58,33 +51,41 @@ def run_mode(cap_bytes, rate, fpb, paced: bool, secs: float):
             line = raw.decode(errors="replace").strip()
             if line.startswith("RAW: "):
                 lines.append((t, line))
-        done.set()
 
     th = threading.Thread(target=reader, daemon=True)
     th.start()
-    chunk = 1 << 20                       # 1 MiB (65.5 kSamp cf32)
+    chunk = 1 << 20
     bytes_per_s = rate * 8
     t0 = time.perf_counter()
     sent = 0
-    while sent < len(cap_bytes):
-        n = min(chunk, len(cap_bytes) - sent)
-        proc.stdin.write(cap_bytes[sent:sent + n])
-        sent += n
-        if paced:
-            target = t0 + sent / bytes_per_s
-            dt = target - time.perf_counter()
-            if dt > 0:
-                time.sleep(dt)
+    total = len(cap_bytes) * reps
+    for rep in range(reps):
+        off = 0
+        while off < len(cap_bytes):
+            n = min(chunk, len(cap_bytes) - off)
+            proc.stdin.write(cap_bytes[off:off + n])
+            off += n
+            sent += n
+            if paced:
+                target = t0 + sent / bytes_per_s
+                dt = target - time.perf_counter()
+                if dt > 0:
+                    time.sleep(dt)
     proc.stdin.close()
-    proc.wait(timeout=600)
-    done.wait(timeout=60)
-    wall = time.perf_counter() - t0
-    return t0, wall, lines
+    proc.wait(timeout=900)
+    th.join(timeout=60)
+    return t0, lines
+
+
+def line_ts(line):
+    m = re.match(r"RAW: \S+ (\d+\.\d+) ", line)
+    return float(m.group(1)) / 1e3 if m else None
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--burst-rate", type=float, default=175.0)
     ap.add_argument("--frames-per-block", type=int, default=512)
     ap.add_argument("--skip-latency", action="store_true")
@@ -98,40 +99,37 @@ def main():
                                         args.burst_rate)
     secs = len(cap) / rate
     cap_bytes = cap.view(np.float32).tobytes()
-    print(f"capture: {secs:.2f} s, {n_inj} bursts", file=sys.stderr)
+    print(f"capture: {secs:.2f} s x {args.reps} reps, {n_inj} bursts",
+          file=sys.stderr)
 
-    # warm the persistent compile cache with a short run first
-    print("warm-up run (compiles)...", file=sys.stderr)
-    run_mode(cap_bytes[: 2 * bs * 8], rate, fpb, paced=False, secs=secs)
-
-    t0, wall, lines = run_mode(cap_bytes, rate, fpb, paced=False,
-                               secs=secs)
-    rtf = secs / wall
-    print(f"throughput: {len(lines)} RAW lines, {wall:.2f} s wall "
-          f"-> {rtf:.2f}x realtime", file=sys.stderr)
-
+    t0, lines = run_mode(cap_bytes, rate, fpb, args.reps, False, secs)
+    # steady state: drop repetition 1 (startup/compile)
+    steady = [(t, line) for t, line in lines
+              if (ts := line_ts(line)) is not None and ts >= secs]
     out = dict(metric="live_stdin", capture_s=round(secs, 2),
-               raw_lines=len(lines),
-               throughput_rtf=round(rtf, 2),
-               ok_per_s=round(len(lines) / secs, 1))
+               raw_lines=len(lines))
+    if len(steady) >= 2:
+        span = steady[-1][0] - steady[0][0]
+        covered = (args.reps - 1) * secs
+        rtf = covered / span if span > 0 else 0.0
+        out.update(throughput_rtf=round(rtf, 2),
+                   steady_lines=len(steady),
+                   ok_per_s=round(len(steady) / covered, 1))
+        print(f"steady state: {len(steady)} RAW lines over "
+              f"{span:.2f} s wall covering {covered:.2f} s of stream "
+              f"-> {rtf:.2f}x realtime", file=sys.stderr)
 
-    if not args.skip_latency and rtf >= 1.0:
-        t0, wall, lines = run_mode(cap_bytes, rate, fpb, paced=True,
-                                   secs=secs)
+    if not args.skip_latency and out.get("throughput_rtf", 0) >= 1.0:
+        t0, lines = run_mode(cap_bytes, rate, fpb, args.reps, True,
+                             secs)
         lats = []
         for arrival, line in lines:
-            m = re.match(r"RAW: \S+ (\d+\.\d+) ", line)
-            if not m:
+            ts = line_ts(line)
+            if ts is None or ts < secs:      # skip startup repetition
                 continue
-            # line timestamp is capture-relative ms (t0 latched to the
-            # first frame's second — sub-second bias < 1 s is removed
-            # by measuring against the stream position instead)
-            cap_t = float(m.group(1)) / 1e3
-            lats.append(arrival - t0 - cap_t)
+            lats.append(arrival - t0 - ts)
         if lats:
             lats = np.array(lats)
-            # remove the printer's t0 second-floor bias by aligning the
-            # minimum latency class to the block-fill floor
             out.update(
                 latency_p50_s=round(float(np.percentile(lats, 50)), 2),
                 latency_p95_s=round(float(np.percentile(lats, 95)), 2),

@@ -47,8 +47,12 @@ def main():
     from iridium_tpu.parallel.stream import ShardedPipeline
     from iridium_tpu.runtime.pipeline import Pipeline
 
+    # Production-proportioned shapes: the per-frame coupling psum is a
+    # FIXED per-frame cost, so a toy fft_size makes it look huge
+    # relative to the O(F) row work; 2048 bins at 2 MHz keeps the
+    # frames/sample ratio within 4x of the 10 MHz production config.
     cfg = DetectorConfig(
-        sample_rate=2_000_000, fft_size=512, history_size=8,
+        sample_rate=2_000_000, fft_size=2048, history_size=8,
         frames_per_block=64, burst_capacity=64, gone_capacity=64,
         max_new_per_frame=32, max_burst_len=18_000, burst_post_len=4_000,
     )
