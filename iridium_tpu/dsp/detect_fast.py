@@ -523,7 +523,7 @@ def make_scan_fast(p: DetectorParams, n_bins: int | None = None,
                    jnp.int32(0), burst_id, squelch_count, n_tagged,
                    burst_dropped, peak_db)
             st, (ems, k0s, d0s, k1s, d1s, mores) = jax.lax.scan(
-                frame_body, st0, (mags, idxs, acts), unroll=8)
+                frame_body, st0, (mags, idxs, acts), unroll=16)
             (_, a_valid, a_id, a_start, a_last, a_mag, a_noise,
              mask_count, baseline_sum, hidx_abs, primed_i, n_upd,
              burst_id, squelch_count, n_tagged, burst_dropped,

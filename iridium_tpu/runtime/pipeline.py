@@ -1,12 +1,18 @@
 """Single-chip block pipeline: host orchestration of the jitted stages.
 
 Replaces the reference's 7-thread architecture (`main.c:666-734`,
-`ARCHITECTURE.md:138-146`) with a block-synchronous design:
+`ARCHITECTURE.md:138-146`) with a block-synchronous, FULLY
+DEVICE-ROUTED design:
 
-  reader -> [device] detect block (batched FFT + state-machine scan)
-         -> host reads tiny gone-burst table
-         -> [device] gather + downmix + demod over burst batches
-         -> host formats RAW lines
+  reader -> [device] detect block (batched FFT + per-bin state scan)
+         -> [device] fused group program: on-device burst routing +
+            gather/downmix/demod batches, chained on the in-order queue
+         -> host: ONE fetch per group of [tables | meta | packed rows],
+            vectorized frame building, RAW lines
+
+No host decision sits between detection and demodulation — the gone
+table never crosses to the host before its bursts are processed (the
+TPU analogue of the reference's zero-copy thread handoff).
 
 The detector's IQ ring buffer (`burst_detect.c:388-422`) becomes a
 device-resident tail of the previous `l_ext` samples, concatenated in
