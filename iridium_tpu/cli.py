@@ -13,7 +13,6 @@ import argparse
 import sys
 import time
 
-import numpy as np
 
 from .config import DetectorConfig, DownmixConfig
 from .decode import batch as batch_mod

@@ -32,7 +32,6 @@ float32 phase accuracy holds over million-sample bursts.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -26,11 +26,9 @@ Gathers both f32 planes of the complex stream in one kernel launch.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -47,7 +47,6 @@ overflow rounds agree everywhere; emission stays host-0-only.
 
 from __future__ import annotations
 
-import sys
 import time
 from typing import Iterator
 

@@ -46,7 +46,6 @@ from .. import iridium
 from ..config import DetectorConfig, DetectorParams, DownmixConfig, DownmixParams
 from ..dsp import demod as demod_mod
 from ..dsp import detect, downmix
-from ..io import readers
 
 
 def _round_up(x: int, m: int) -> int:
