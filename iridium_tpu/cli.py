@@ -97,6 +97,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "Pallas kernel on TPU / XLA elsewhere; force "
                         "'xla' to A/B the kernel on real hardware "
                         "(cf. reference --no-simd, ARCHITECTURE.md:638)")
+    p.add_argument("--scan", choices=("auto", "pallas", "xla"),
+                   default="auto",
+                   help="detector state-machine implementation: "
+                        "'auto' = single-Mosaic-kernel scan on TPU / "
+                        "XLA branchless scan elsewhere; force 'xla' "
+                        "to A/B the kernel on real hardware")
     p.add_argument("--mesh", type=int, metavar="N",
                    help="run the capture through the N-device sharded "
                         "SPMD pipeline (multi-chip; with "
@@ -172,6 +178,10 @@ def main(argv=None) -> int:
                         fir_mode="conv" if args.no_pallas else args.fir,
                         want_llr=bool(decode_active),
                         agg_blocks=agg,
+                        detect_impl=("fast"
+                                     if args.scan == "xla"
+                                     or args.no_pallas
+                                     else args.scan),
                         gather_mode=args.gather)
     printer = RawPrinter(args.file_info)
 

@@ -132,6 +132,10 @@ class FastState(NamedTuple):
     squelch_count: jax.Array    # i32 scalar
     n_tagged: jax.Array         # i32 scalar
     peak_signal_db: jax.Array   # f32 scalar
+    # cumulative diagnostics (surfaced to the host stats line):
+    # emission-capacity drops and creation-budget deferrals
+    burst_dropped: jax.Array    # i32 scalar
+    create_waits: jax.Array     # i32 scalar
 
 
 def init_state(p: DetectorParams, n_bins: int | None = None,
@@ -158,6 +162,7 @@ def init_state(p: DetectorParams, n_bins: int | None = None,
         burst_id=jnp.full((), id_offset * 10, jnp.int32),
         squelch_count=z32, n_tagged=z32,
         peak_signal_db=jnp.zeros((), jnp.float32),
+        burst_dropped=z32, create_waits=z32,
     )
 
 
@@ -642,6 +647,8 @@ def make_scan_fast(p: DetectorParams, n_bins: int | None = None,
             # detected stays truthful
             n_tagged=n_tagged,
             peak_signal_db=peak_db,
+            burst_dropped=state.burst_dropped + burst_dropped,
+            create_waits=state.create_waits + create_waits,
         )
 
     return run

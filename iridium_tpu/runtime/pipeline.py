@@ -294,7 +294,7 @@ class Pipeline:
                  want_llr: bool = True,
                  agg_blocks: int = 4,
                  group_jobs: int = 8,
-                 detect_impl: str = "fast",
+                 detect_impl: str = "auto",
                  gather_mode: str = "auto"):
         det_cfg = det_cfg or DetectorConfig()
         dm_cfg = dm_cfg or DownmixConfig()
@@ -323,11 +323,16 @@ class Pipeline:
         # device). 8 x 128 covers ~2x the reference's live 10 MHz
         # detection density for a 4-block group.
         self.group_jobs = max(group_jobs, 1)
-        # detect_impl: "fast" = branchless chunked scan
-        # (dsp/detect_fast.py); "exact" = the reference-faithful
-        # per-frame scan (dsp/detect.py, the test oracle's twin)
-        self.detect_impl = detect_impl
+        # detect_impl: "pallas" = single-Mosaic-kernel scan
+        # (dsp/detect_pallas.py, the TPU production path); "fast" =
+        # XLA branchless chunked scan (dsp/detect_fast.py, the
+        # sharded/CPU path and the on-hardware A/B twin); "exact" =
+        # the reference-faithful per-frame scan (dsp/detect.py, the
+        # test oracle's twin); "auto" resolves per backend/shape
         self.p: DetectorParams = det_cfg.derived()
+        from ..dsp import detect_pallas
+        self.detect_impl = detect_pallas.resolve_impl(self.p,
+                                                      detect_impl)
         self.dmp: DownmixParams = dm_cfg.derived(self.p)
         p, dmp = self.p, self.dmp
 
@@ -367,7 +372,7 @@ class Pipeline:
     def reset(self, start_time_ns: int | None = None) -> None:
         """Fresh stream state; compiled executables are reused."""
         import collections
-        if self.detect_impl == "fast":
+        if self.detect_impl in ("fast", "pallas"):
             from ..dsp import detect_fast
             self.state = detect_fast.init_state(self.p)
         else:
@@ -396,7 +401,10 @@ class Pipeline:
         stream, rolling tail, and detector state stay device-resident.
         """
         p = self.p
-        if self.detect_impl == "fast":
+        if self.detect_impl == "pallas":
+            from ..dsp import detect_pallas
+            detect_fn = detect_pallas.make_detect_block_pallas(p)
+        elif self.detect_impl == "fast":
             from ..dsp import detect_fast
             detect_fn = detect_fast.make_detect_block_fast(p)
         else:
