@@ -39,6 +39,34 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 _T0 = time.perf_counter()          # child process start (for startup_s)
 
+# Compile/cache accounting (VERDICT round-4 ask: report compiled-
+# executable count and persistent-cache hit/miss in the bench tail —
+# the FFTW-wisdom analogue, reference main.c:60-78). JAX emits
+# monitoring events per compile request; count them process-wide.
+_compile_stats = {"executables": 0, "cache_hits": 0,
+                  "cache_misses": 0, "backend_compile_s": 0.0}
+
+
+def _install_compile_listeners():
+    try:
+        from jax._src import monitoring
+    except Exception:          # pragma: no cover
+        return
+
+    def on_event(name, **kw):
+        if name == "/jax/compilation_cache/cache_hits":
+            _compile_stats["cache_hits"] += 1
+        elif name == "/jax/compilation_cache/cache_misses":
+            _compile_stats["cache_misses"] += 1
+
+    def on_duration(name, secs, **kw):
+        if name == "/jax/core/compile/backend_compile_duration":
+            _compile_stats["executables"] += 1
+            _compile_stats["backend_compile_s"] += secs
+
+    monitoring.register_event_listener(on_event)
+    monitoring.register_event_duration_secs_listener(on_duration)
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -267,6 +295,7 @@ def run_child(args) -> None:
     import jax
     import jax.numpy as jnp  # noqa: F401
 
+    _install_compile_listeners()
     # Persistent XLA compile cache (the FFTW-wisdom analogue,
     # reference main.c:60-78): repeat runs skip most compiles.
     cache_dir = os.environ.get("IRIDIUM_TPU_CACHE",
@@ -329,7 +358,11 @@ def run_child(args) -> None:
     precompile_s = time.perf_counter() - t0
     startup_s = time.perf_counter() - _T0
     log(f"serial precompile: {n_pre} frames in {precompile_s:.1f} s "
-        f"(process start -> ready: {startup_s:.1f} s)")
+        f"(process start -> ready: {startup_s:.1f} s); compiles so "
+        f"far: {_compile_stats['executables']} executables "
+        f"({_compile_stats['backend_compile_s']:.1f} s backend), "
+        f"cache {_compile_stats['cache_hits']} hit / "
+        f"{_compile_stats['cache_misses']} miss")
     pipe.reset(start_time_ns=1_700_000_000_000_000_000)
 
     # Warm run over the FULL capture (threaded, like the timed runs)
@@ -438,6 +471,13 @@ def run_child(args) -> None:
         "ok_pct": round(ok_pct, 1),
         "precompile_s": round(precompile_s, 1),
         "startup_s": round(startup_s, 1),
+        "compile": {
+            "executables": _compile_stats["executables"],
+            "backend_compile_s":
+                round(_compile_stats["backend_compile_s"], 1),
+            "cache_hits": _compile_stats["cache_hits"],
+            "cache_misses": _compile_stats["cache_misses"],
+        },
     }
     if decomp:
         out["decomposition"] = decomp

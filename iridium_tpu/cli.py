@@ -169,7 +169,8 @@ def main(argv=None) -> int:
                                want_llr=bool(decode_active),
                                fir_mode=("conv" if args.no_pallas
                                          else args.fir),
-                               gather_mode=args.gather)
+                               gather_mode=args.gather,
+                               agg_blocks=agg)
     else:
         pipe = Pipeline(det_cfg=det, dm_cfg=DownmixConfig(),
                         burst_batch=args.burst_batch,
@@ -407,6 +408,13 @@ def main(argv=None) -> int:
     # (burst_detect.c:350-351).
     print(f"burst_detect: tagged {pipe.stats.n_detected} bursts total",
           file=sys.stderr)
+    if pipe.stats.n_em_dropped or pipe.stats.n_create_waits:
+        # bounded-capacity divergence accounting (detect_fast /
+        # detect_pallas docstrings): emission-cap drops are a subset of
+        # the d: counter; create-waits deferred a peak to a later frame
+        print(f"burst_detect: {pipe.stats.n_em_dropped} emission-cap "
+              f"drops, {pipe.stats.n_create_waits} deferred creations",
+              file=sys.stderr)
     if gsmtap is not None:
         print(f"gsmtap: sent {n_gsmtap} frames", file=sys.stderr)
     if acars is not None:

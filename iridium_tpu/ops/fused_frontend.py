@@ -80,15 +80,25 @@ def make_ramp_table(fft_size: int):
 
 
 def make_fused_frontend(l_win: int, fft_size: int, decim: int,
-                        taps: np.ndarray, interpret: bool = False):
+                        taps: np.ndarray, interpret: bool = False,
+                        nb: int = 8):
     """Build fused(splanes, starts2, ramp) -> (B, l_win//decim) f32 x2
     decimated planes.
 
     splanes: (2, Mt, TILE) stacked stream planes (stack_planes).
     starts2: (B, 2) i32 [tile, r].
     ramp: (B, 2, F/128, 128) from make_ramp_table.
-    """
+
+    nb: bursts per grid step (round 5). At nb=1 the polyphase dot is
+    (n_sb, K_pad) @ (K_pad, 128) with n_sb ~ 4 operand rows — 3% MXU
+    row utilization, and the kernel measured grid-step-overhead bound
+    (44.5 ms per dense group, tools/traces/group_r05_pre.txt). nb
+    bursts stack their operand rows into ONE (nb*n_sb, K_pad) dot per
+    plane per pass and cut grid steps nb-fold; B is padded to a
+    multiple of nb on the host side (padded rows read tile 0 and are
+    sliced off)."""
     assert supports(fft_size, decim, l_win), (fft_size, decim, l_win)
+    NB = max(1, nb)
     F = fft_size
     Fr = F // TILE
     n_blk = l_win // ALIGN
@@ -117,50 +127,21 @@ def make_fused_frontend(l_win: int, fft_size: int, decim: int,
         .astype(np.dtype("bfloat16"))
     tap_hl = np.stack([tap_hi, tap_lo], axis=0)   # (2, K_pad, SB) bf16
 
-    def kernel(st_ref, main_ref, spill_ref, ramp_ref, tap_ref,
-               ore_ref, oim_ref):
-        b = pl.program_id(0)
+    def kernel(*refs):
+        st_ref = refs[0]
+        mains = refs[1:1 + NB]
+        spills = refs[1 + NB:1 + 2 * NB]
+        ramp_ref = refs[1 + 2 * NB]
+        tap_ref = refs[2 + 2 * NB]
+        ore_ref, oim_ref = refs[3 + 2 * NB], refs[4 + 2 * NB]
+        g = pl.program_id(0)
         t = pl.program_id(1)
-        r = st_ref[b, 1]
-        sh = jnp.where(r == 0, 0, TILE - r)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-        keep = lane_iota < (TILE - r)
-
-        def shifted(pi):
-            """window rows [t*R_ROWS, t*R_ROWS + NEED) after the fine
-            r shift (same two-level roll as the window gather)."""
-            full = jnp.concatenate([main_ref[pi], spill_ref[pi]],
-                                   axis=0)
-            rolled = pltpu.roll(full, sh, 1)
-            nxt = rolled[1:NEED + 1]
-            return jnp.where(keep, rolled[:NEED], nxt)
 
         # ramp rows for window rows [t*off_step ...): roll + tile
+        # (shared by all NB bursts: same t)
         offr = jax.lax.rem(t * off_step, Fr)
         shr = jax.lax.rem(Fr - offr, Fr)
-
-        def ramp_tiled(pi):
-            rolled = pltpu.roll(ramp_ref[0, pi], shr, 0)
-            return jnp.concatenate([rolled] * n_reps, axis=0)[:NEED]
-
-        xr = shifted(0)
-        xi = shifted(1)
-        cr = ramp_tiled(0)
-        ci = ramp_tiled(1)
-        yr = xr * cr - xi * ci
-        yi = xr * ci + xi * cr
-
-        def xop(y):
-            # ONE flatten per plane (the unavoidable sublane->lane
-            # relayout), then the n_sb operand rows are cheap 1-D lane
-            # chunks of it (offsets are TILE-aligned: SB*D % TILE == 0)
-            yf = y[:NEED].reshape(NEED * TILE)
-            return jnp.concatenate(
-                [yf[s * SB * D:s * SB * D + K_pad][None]
-                 for s in range(n_sb)], axis=0)
-
-        Xre = xop(yr)
-        Xim = xop(yi)
 
         def dot3(X):
             # manual bf16x3: X = Xh + Xl, T = Th + Tl (exact bf16
@@ -181,38 +162,100 @@ def make_fused_frontend(l_win: int, fft_size: int, decim: int,
 
             return d(Xh, Th) + (d(Xh, Tl) + d(Xl, Th))
 
-        # the output block (1, n_blk, n_sb*SB) is shared by all t-steps
-        # of one burst (Pallas block constraint: the trailing dims must
-        # be sublane/lane aligned); each step fills its own row t
-        ore_ref[0, t] = dot3(Xre).reshape(n_sb * SB)
-        oim_ref[0, t] = dot3(Xim).reshape(n_sb * SB)
+        Xre_l, Xim_l = [], []
+        for i in range(NB):
+            r = st_ref[g * NB + i, 1]
+            sh = jnp.where(r == 0, 0, TILE - r)
+            keep = lane_iota < (TILE - r)
+
+            def shifted(pi, i=i, sh=sh, keep=keep):
+                """window rows [t*R_ROWS, t*R_ROWS + NEED) after the
+                fine r shift (same two-level roll as the window
+                gather)."""
+                full = jnp.concatenate([mains[i][pi], spills[i][pi]],
+                                       axis=0)
+                rolled = pltpu.roll(full, sh, 1)
+                nxt = rolled[1:NEED + 1]
+                return jnp.where(keep, rolled[:NEED], nxt)
+
+            def ramp_tiled(pi, i=i):
+                rolled = pltpu.roll(ramp_ref[i, pi], shr, 0)
+                return jnp.concatenate([rolled] * n_reps, axis=0)[:NEED]
+
+            xr = shifted(0)
+            xi = shifted(1)
+            cr = ramp_tiled(0)
+            ci = ramp_tiled(1)
+            yr = xr * cr - xi * ci
+            yi = xr * ci + xi * cr
+
+            def xop(y):
+                # ONE flatten per plane (the unavoidable sublane->lane
+                # relayout), then the n_sb operand rows are cheap 1-D
+                # lane chunks of it (offsets are TILE-aligned:
+                # SB*D % TILE == 0)
+                yf = y[:NEED].reshape(NEED * TILE)
+                return jnp.concatenate(
+                    [yf[s * SB * D:s * SB * D + K_pad][None]
+                     for s in range(n_sb)], axis=0)
+
+            Xre_l.append(xop(yr))
+            Xim_l.append(xop(yi))
+
+        # ONE stacked (NB*n_sb, K_pad) @ (K_pad, SB) dot per plane per
+        # bf16 pass — NB x the operand rows of the per-burst dot
+        Ore = dot3(jnp.concatenate(Xre_l, axis=0))
+        Oim = dot3(jnp.concatenate(Xim_l, axis=0))
+        # each step fills its own row t of every burst's output block
+        for i in range(NB):
+            ore_ref[i, t] = Ore[i * n_sb:(i + 1) * n_sb].reshape(
+                n_sb * SB)
+            oim_ref[i, t] = Oim[i * n_sb:(i + 1) * n_sb].reshape(
+                n_sb * SB)
 
     def fused(splanes, starts2, ramp):
         B = starts2.shape[0]
+        Bp = -(-B // NB) * NB
+        if Bp != B:
+            starts2 = jnp.concatenate(
+                [starts2, jnp.zeros((Bp - B, 2), jnp.int32)])
+            ramp = jnp.concatenate(
+                [ramp, jnp.zeros((Bp - B,) + ramp.shape[1:],
+                                 ramp.dtype)])
+
+        def main_spec(i):
+            return pl.BlockSpec(
+                (2, R_ROWS, TILE),
+                lambda g, t, st, i=i: (0, st[g * NB + i, 0] + t, 0),
+                memory_space=pltpu.VMEM)
+
+        def spill_spec(i):
+            return pl.BlockSpec(
+                (2, SPILL_ROWS, TILE),
+                lambda g, t, st, i=i:
+                (0, (st[g * NB + i, 0] + t + 1) * spill_scale, 0),
+                memory_space=pltpu.VMEM)
+
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, n_blk),
-            in_specs=[
-                pl.BlockSpec((2, R_ROWS, TILE),
-                             lambda b, t, st: (0, st[b, 0] + t, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, SPILL_ROWS, TILE),
-                             lambda b, t, st:
-                             (0, (st[b, 0] + t + 1) * spill_scale, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2, Fr, TILE),
-                             lambda b, t, st: (b, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, K_pad, SB),
-                             lambda b, t, st: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            grid=(Bp // NB, n_blk),
+            in_specs=(
+                [main_spec(i) for i in range(NB)]
+                + [spill_spec(i) for i in range(NB)]
+                + [
+                    pl.BlockSpec((NB, 2, Fr, TILE),
+                                 lambda g, t, st: (g, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2, K_pad, SB),
+                                 lambda g, t, st: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ]),
             out_specs=[
-                pl.BlockSpec((1, n_blk, n_sb * SB),
-                             lambda b, t, st: (b, 0, 0),
+                pl.BlockSpec((NB, n_blk, n_sb * SB),
+                             lambda g, t, st: (g, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_blk, n_sb * SB),
-                             lambda b, t, st: (b, 0, 0),
+                pl.BlockSpec((NB, n_blk, n_sb * SB),
+                             lambda g, t, st: (g, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
         )
@@ -220,13 +263,16 @@ def make_fused_frontend(l_win: int, fft_size: int, decim: int,
             kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((B, n_blk, n_sb * SB), jnp.float32),
-                jax.ShapeDtypeStruct((B, n_blk, n_sb * SB), jnp.float32),
+                jax.ShapeDtypeStruct((Bp, n_blk, n_sb * SB),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((Bp, n_blk, n_sb * SB),
+                                     jnp.float32),
             ],
             interpret=interpret,
-        )(starts2, splanes, splanes, ramp, jnp.asarray(tap_hl))
+        )(starts2, *([splanes] * NB), *([splanes] * NB), ramp,
+          jnp.asarray(tap_hl))
         n_out = l_win // D
-        return (o_re.reshape(B, n_blk * n_sb * SB)[:, :n_out],
-                o_im.reshape(B, n_blk * n_sb * SB)[:, :n_out])
+        return (o_re.reshape(Bp, n_blk * n_sb * SB)[:B, :n_out],
+                o_im.reshape(Bp, n_blk * n_sb * SB)[:B, :n_out])
 
     return fused

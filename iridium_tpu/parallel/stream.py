@@ -86,7 +86,8 @@ class ShardedPipeline:
                  fir_mode: str = "mxu",
                  gather_mode: str = "auto",
                  detect_impl: str = "fast",
-                 group_jobs: int = 2):
+                 group_jobs: int = 2,
+                 agg_blocks: int = 4):
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), (AXIS,))
         self.mesh = mesh
@@ -110,6 +111,12 @@ class ShardedPipeline:
         self.n_bins_local = self.own_bins + 2 * self.halo
         self.burst_batch = burst_batch
         self.group_jobs = max(group_jobs, 1)
+        # agg_blocks: how many blocks share ONE result fetch (the
+        # single-chip driver's group aggregation, ported round 5; the
+        # process dispatches stay per-block — every host issues the
+        # same SPMD calls in the same order — but their buffers are
+        # stacked on device and fetched in one RPC)
+        self.agg_blocks = max(agg_blocks, 1)
         self.want_llr = want_llr
         self.fir_mode = fir_mode
         assert gather_mode in ("auto", "pallas", "xla"), gather_mode
@@ -140,6 +147,8 @@ class ShardedPipeline:
         ) + p.fft_size // 2
 
         self._build(use_gardner)
+        # group-fetch stack (one compile per group arity)
+        self._stack_bufs = jax.jit(lambda *xs: jnp.stack(xs))
         self.start_time_ns = start_time_ns
         self.reset(start_time_ns)
 
@@ -301,7 +310,9 @@ class ShardedPipeline:
 
             # 4. packed per-shard gone table
             z = jnp.zeros((), jnp.int32)
-            head = jnp.stack([state.g_count, state.n_tagged, z, z, z, z])
+            head = jnp.stack([state.g_count, state.n_tagged,
+                              getattr(state, "burst_dropped", z),
+                              getattr(state, "create_waits", z), z, z])
             rows = jnp.stack(
                 [state.g_id, state.g_start, state.g_stop, state.g_bin,
                  bc_i32(state.g_mag), bc_i32(state.g_noise)], axis=1)
@@ -504,88 +515,106 @@ class ShardedPipeline:
         return buf
 
     def _finish_block(self, ctx) -> list[dict]:
-        p, dmp, n, G = self.p, self.dmp, self.n, self.p.gone_capacity
-        caps = self.class_caps
-        W = self.packed_w
-        base_index = ctx[3]
+        buf_dev = self._dispatch_process(ctx, np.zeros(3, np.int64))
+        t0 = time.perf_counter()
+        buf = self._fetch_rows(buf_dev)              # (n, buf_len)
+        self.timing["result_fetch_wait"] += time.perf_counter() - t0
+        self.timing["n_groups"] += 1
+        return self._finish_from_buf(ctx, buf)
+
+    def _finish_from_buf(self, ctx, buf) -> list[dict]:
+        """Parse one block's fetched process buffer into frames,
+        re-dispatching (rare) overflow rounds until every class's
+        bursts are drained."""
         frames: list[dict] = []
         skips = np.zeros(3, np.int64)
         first = True
         while True:
+            skips, done = self._consume_buf(buf, ctx, skips, frames,
+                                            first)
+            first = False
+            if done:
+                break
             buf_dev = self._dispatch_process(ctx, skips)
             t0 = time.perf_counter()
-            buf = self._fetch_rows(buf_dev)          # (n, buf_len)
+            buf = self._fetch_rows(buf_dev)
             self.timing["result_fetch_wait"] += time.perf_counter() - t0
-            if first:
-                self.timing["n_groups"] += 1
-            else:
-                self.timing["n_overflow_rounds"] += 1
-            T = (G + 1) * 6
-            tabs = buf[:, :T].reshape(n, G + 1, 6)
-            ncs = buf[:, T:T + 3].astype(np.int64)   # (n, 3)
-            o = T + 3
-            metas, rows_l = [], []
-            for cap in caps:
-                metas.append(buf[:, o:o + cap])
-                o += cap
-            for cap in caps:
-                rows_l.append(buf[:, o:o + cap * W]
-                              .reshape(n, cap, W))
-                o += cap * W
-
-            if first:
-                counts = tabs[:, 0, 0]
-                n_tagged = int(tabs[:, 0, 1].sum())
-                self.prev_tagged = max(self.prev_tagged, n_tagged)
-                self.stats.n_detected += int(counts.sum())
-                self.stats.n_dropped = (self.prev_tagged
-                                        - self.stats.n_detected)
-
-            meta = np.concatenate(
-                [m.reshape(-1) for m in metas])
-            rows = np.concatenate(
-                [r.reshape(-1, W) for r in rows_l], axis=0)
-            sel = meta >= 0
-            if sel.any():
-                u = pl_mod.unpack_outputs(rows, dmp.max_symbols,
-                                          self.want_llr)
-                self.stats.n_handled += int((u["dm_ok"] & sel).sum())
-                ok = u["dm_ok"] & u["dd_ok"] & sel
-                self.stats.n_ok += int(ok.sum())
-                ls, l_ext = self.slice_len, self.l_ext
-                ALIGN = wg.ALIGN
-                for j in np.nonzero(ok)[0]:
-                    flat = int(meta[j])
-                    s, gi = flat // G, flat % G
-                    row = tabs[s, 1 + gi]
-                    # reconstruct the gather alignment lead exactly as
-                    # the device routing computed it (the delivered
-                    # window starts `lead` samples early; start_dec
-                    # already includes the matching shift_dec)
-                    start_rel = max(int(row[1]), -base_index)
-                    ext_len = min(int(row[2]) + p.burst_pre_len
-                                  - start_rel, l_ext - ALIGN)
-                    owner = min(max((start_rel + ext_len - 1) // ls, 0),
-                                n - 1)
-                    local_start = min(max(start_rel - owner * ls
-                                          + l_ext, 0), l_ext + ls)
-                    lead = (local_start % ALIGN) - (local_start
-                                                    % dmp.decimation)
-                    abs_al = start_rel + base_index - lead
-                    frames.append(pl_mod.build_frame(
-                        p, dmp, self.in_ntaps, self.start_time_ns,
-                        int(row[0]), int(row[3]),
-                        float(row[4:5].view(np.float32)[0]),
-                        float(row[5:6].view(np.float32)[0]),
-                        abs_al, u, j))
-            first = False
-            want = ncs.max(axis=0)                   # per-class max load
-            lim = skips + np.asarray(caps, np.int64)
-            if np.all(want <= lim):
-                break
-            skips = np.minimum(lim, want)
+            self.timing["n_overflow_rounds"] += 1
         frames.sort(key=lambda f: f["id"])
         return frames
+
+    def _consume_buf(self, buf, ctx, skips, frames, first):
+        p, dmp, n, G = self.p, self.dmp, self.n, self.p.gone_capacity
+        caps = self.class_caps
+        W = self.packed_w
+        base_index = ctx[3]
+        T = (G + 1) * 6
+        tabs = buf[:, :T].reshape(n, G + 1, 6)
+        ncs = buf[:, T:T + 3].astype(np.int64)   # (n, 3)
+        o = T + 3
+        metas, rows_l = [], []
+        for cap in caps:
+            metas.append(buf[:, o:o + cap])
+            o += cap
+        for cap in caps:
+            rows_l.append(buf[:, o:o + cap * W]
+                          .reshape(n, cap, W))
+            o += cap * W
+
+        if first:
+            counts = tabs[:, 0, 0]
+            n_tagged = int(tabs[:, 0, 1].sum())
+            self.prev_tagged = max(self.prev_tagged, n_tagged)
+            self.stats.n_detected += int(counts.sum())
+            self.stats.n_dropped = (self.prev_tagged
+                                    - self.stats.n_detected)
+            # per-shard cumulative scan diagnostics, summed over shards
+            self.stats.n_em_dropped = max(self.stats.n_em_dropped,
+                                          int(tabs[:, 0, 2].sum()))
+            self.stats.n_create_waits = max(self.stats.n_create_waits,
+                                            int(tabs[:, 0, 3].sum()))
+
+        meta = np.concatenate(
+            [m.reshape(-1) for m in metas])
+        rows = np.concatenate(
+            [r.reshape(-1, W) for r in rows_l], axis=0)
+        sel = meta >= 0
+        if sel.any():
+            u = pl_mod.unpack_outputs(rows, dmp.max_symbols,
+                                      self.want_llr)
+            self.stats.n_handled += int((u["dm_ok"] & sel).sum())
+            ok = u["dm_ok"] & u["dd_ok"] & sel
+            self.stats.n_ok += int(ok.sum())
+            ls, l_ext = self.slice_len, self.l_ext
+            ALIGN = wg.ALIGN
+            for j in np.nonzero(ok)[0]:
+                flat = int(meta[j])
+                s, gi = flat // G, flat % G
+                row = tabs[s, 1 + gi]
+                # reconstruct the gather alignment lead exactly as
+                # the device routing computed it (the delivered
+                # window starts `lead` samples early; start_dec
+                # already includes the matching shift_dec)
+                start_rel = max(int(row[1]), -base_index)
+                ext_len = min(int(row[2]) + p.burst_pre_len
+                              - start_rel, l_ext - ALIGN)
+                owner = min(max((start_rel + ext_len - 1) // ls, 0),
+                            n - 1)
+                local_start = min(max(start_rel - owner * ls
+                                      + l_ext, 0), l_ext + ls)
+                lead = (local_start % ALIGN) - (local_start
+                                                % dmp.decimation)
+                abs_al = start_rel + base_index - lead
+                frames.append(pl_mod.build_frame(
+                    p, dmp, self.in_ntaps, self.start_time_ns,
+                    int(row[0]), int(row[3]),
+                    float(row[4:5].view(np.float32)[0]),
+                    float(row[5:6].view(np.float32)[0]),
+                    abs_al, u, j))
+        want = ncs.max(axis=0)                   # per-class max load
+        lim = skips + np.asarray(caps, np.int64)
+        done = bool(np.all(want <= lim))
+        return np.minimum(lim, want), done
 
     def _fetch_rows(self, pf) -> np.ndarray:
         """Fetch a P(AXIS)-sharded (n, ...) result to every host.
@@ -600,6 +629,21 @@ class ShardedPipeline:
         local = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
         return np.asarray(multihost_utils.process_allgather(
             local, tiled=True))
+
+    def _fetch_stacked(self, stacked) -> np.ndarray:
+        """Fetch a group's device-stacked (nb, n, L) process buffers —
+        sharded over dim 1 — in ONE transfer per host."""
+        if jax.process_count() == 1:
+            return np.asarray(stacked)
+        from jax.experimental import multihost_utils
+        shards = sorted(stacked.addressable_shards,
+                        key=lambda s: s.index[1].start or 0)
+        local = np.concatenate([np.asarray(s.data) for s in shards],
+                               axis=1)
+        # process_allgather tiles axis 0; rotate the shard axis there
+        g = np.asarray(multihost_utils.process_allgather(
+            np.swapaxes(local, 0, 1), tiled=True))
+        return np.swapaxes(g, 0, 1)
 
     def _fetch_gone(self, packed) -> np.ndarray:
         """Fetch the (n, G+1, 6) gone tables to EVERY host (detect-step
@@ -629,17 +673,64 @@ class ShardedPipeline:
 
     def run_blocks(self, blocks) -> Iterator[list[dict]]:
         """Multi-block driver: chains detector state + the overlap-save
-        tail across blocks (the sharded analogue of the single-chip
-        run_blocks; dispatch/finish are kept serial here because every
-        host must issue the same SPMD calls in the same order)."""
-        pending = None
-        for samples, n_valid in blocks:
-            ctx = self._dispatch_step(samples, n_valid)
-            if pending is not None:
-                yield self._finish_block(pending)
-            pending = ctx
-        if pending is not None:
-            yield self._finish_block(pending)
+        tail across blocks, GROUP-AGGREGATED like the single-chip
+        driver: SPMD process dispatches stay per-block and on the
+        calling thread — deterministic grouping keeps every host
+        issuing identical SPMD calls in identical order — but the
+        group's buffers are stacked on device and fetched in ONE
+        transfer per `agg_blocks` blocks. Single-process runs overlap
+        fetch+parse on a worker thread (tunnel-latency hiding);
+        multihost runs keep finish inline, because overflow re-dispatch
+        from a second thread could interleave differently per host and
+        misorder the collective programs."""
+        import concurrent.futures as cf
+        from collections import deque
+
+        agg = self.agg_blocks
+        threaded = jax.process_count() == 1
+
+        def dispatch_group(ctxs):
+            z = np.zeros(3, np.int64)
+            bufs = [self._dispatch_process(c, z) for c in ctxs]
+            return ctxs, self._stack_bufs(*bufs)
+
+        def finish_group(ctxs, stacked):
+            t0 = time.perf_counter()
+            buf_all = self._fetch_stacked(stacked)   # (nb, n, L)
+            self.timing["result_fetch_wait"] += time.perf_counter() - t0
+            self.timing["n_groups"] += 1
+            return [self._finish_from_buf(ctx, buf_all[i])
+                    for i, ctx in enumerate(ctxs)]
+
+        with cf.ThreadPoolExecutor(max_workers=1) as pool:
+            fut: deque = deque()
+            pend: list = []
+
+            def flush():
+                if not pend:
+                    return
+                grp = dispatch_group(list(pend))
+                pend.clear()
+                if threaded:
+                    fut.append(pool.submit(finish_group, *grp))
+                else:
+                    fut.append(finish_group(*grp))
+
+            def take():
+                f = fut.popleft()
+                return f.result() if threaded else f
+
+            for samples, n_valid in blocks:
+                pend.append(self._dispatch_step(samples, n_valid))
+                self.stats.q_peak = max(self.stats.q_peak,
+                                        len(fut) * agg + len(pend))
+                if len(pend) >= agg:
+                    flush()
+                while len(fut) > 1:
+                    yield from take()
+            flush()
+            while fut:
+                yield from take()
 
     # -- CLI-facing shims (same surface as runtime.pipeline.Pipeline) --
 

@@ -276,6 +276,12 @@ class PipelineStats:
     n_ok: int = 0
     n_dropped: int = 0
     n_faults: int = 0
+    # Scan capacity-divergence diagnostics (cumulative, from the
+    # detect-step head row): bursts dropped at the per-frame emission
+    # caps, and frames whose creation budget deferred a peak
+    # (detect_fast/detect_pallas docstrings; subset of n_dropped).
+    n_em_dropped: int = 0
+    n_create_waits: int = 0
     # Peak in-flight block depth since last take_q_peak() — the analogue
     # of the reference's samples_queue depth feeding `q_max:`
     # (main.c:428-432): how far ingest runs ahead of the consumer.
@@ -427,7 +433,12 @@ class Pipeline:
                 [tail, block, jnp.zeros((l_ext,), jnp.complex64)])
             new_tail = stream[bs:bs + l_ext]
             z = jnp.zeros((), jnp.int32)
-            head = jnp.stack([st.g_count, st.n_tagged, z, z, z, z])
+            # head row: [g_count, n_tagged, burst_dropped, create_waits]
+            # (the last two are the fast/pallas scans' cumulative
+            # capacity-divergence diagnostics; the exact scan has none)
+            head = jnp.stack([st.g_count, st.n_tagged,
+                              getattr(st, "burst_dropped", z),
+                              getattr(st, "create_waits", z), z, z])
             rows = jnp.stack(
                 [st.g_id, st.g_start, st.g_stop, st.g_bin,
                  bc_i32(st.g_mag), bc_i32(st.g_noise)], axis=1)
@@ -491,19 +502,24 @@ class Pipeline:
         ) + p_.fft_size // 2
         cap_n = int(iridium.MAX_FRAME_LENGTH_NORMAL
                     * dmp.samples_per_symbol) + 8
+        # Round-5 re-shape (tools/traces/group_r05_pre.txt): per-JOB
+        # fixed cost dominated the class processors (12x128 normal jobs
+        # = 77.5 ms, 6x16 simplex = 18.4 ms, 3x16 large = 9.8 ms on a
+        # dense group), so each class now runs FEWER, FULLER jobs at
+        # the same total capacity — the lax.map trip count halves and
+        # the 16-burst micro-batches (~4x the per-burst cost of a full
+        # batch) disappear.
         self.group_small_n = self._make_group_processor(
-            self.l_small, dec_cap_small, self.group_jobs,
-            self.burst_batch, frame_cap=cap_n)
-        # simplex capacity: the simplex band is a few percent of a full
-        # 10 MHz capture but bursty (ring-alert blasts); size it at half
-        # the normal job count so a typical group never overflows (empty
-        # jobs cost ~nothing — see the lax.cond skip in the processor)
-        self.group_small_s = self._make_group_processor(
             self.l_small, dec_cap_small, max(self.group_jobs // 2, 1),
-            self.batch_large)
+            2 * self.burst_batch, frame_cap=cap_n)
+        # simplex capacity: the simplex band is a few percent of a full
+        # 10 MHz capture but bursty (ring-alert blasts)
+        self.group_small_s = self._make_group_processor(
+            self.l_small, dec_cap_small, max(self.group_jobs // 6, 1),
+            3 * self.batch_large)
         self.group_large = self._make_group_processor(
-            self.l_ext, dec_cap_large, max(self.group_jobs // 4, 1),
-            self.batch_large)
+            self.l_ext, dec_cap_large, max(self.group_jobs // 12, 1),
+            3 * self.batch_large)
         for cls, proc in enumerate((self.group_small_n,
                                     self.group_small_s,
                                     self.group_large)):
@@ -549,7 +565,14 @@ class Pipeline:
                                          dmp.samples_per_symbol,
                                          self.use_gardner)
         want_llr = self.want_llr
-        s2_pad = 2 * dmp.max_symbols
+        # Per-CLASS packed width (round 5): the normal-band bucket's
+        # frame cap (191 symbols) needs ~1/2 the bit words of the
+        # simplex cap, and the class's rows dominate the group fetch
+        # through the ~45 MB/s tunnel — pad only to the class's own
+        # symbol cap and let the host parse each class segment at its
+        # own width.
+        ms_cls = self._max_symbols_for(frame_cap)
+        s2_pad = 2 * ms_cls
         on_tpu = _jax.default_backend() == "tpu"
         use_pallas = (self.gather_mode == "pallas"
                       or (self.gather_mode == "auto" and on_tpu))
@@ -568,7 +591,7 @@ class Pipeline:
             fused_fn = None
             gfn = wg.make_window_gather(l_win) if use_pallas else None
 
-        W = packed_width(dmp.max_symbols, want_llr)
+        W = packed_width(ms_cls, want_llr)
 
         def one_live(flat_stream, planes, pr):
             starts2 = jnp.stack([pr[0], pr[1]], axis=1)
@@ -605,6 +628,8 @@ class Pipeline:
             return process_group_planes(flat_stream, planes, params)
 
         fn = jax.jit(process_group)
+        fn.W = W
+        fn.max_symbols = ms_cls
         fn.raw = process_group_planes   # for the fused group program
         fn.n_jobs = J
         fn.batch = Bb
@@ -739,35 +764,69 @@ class Pipeline:
             sim = bins >= simplex_min
             cols = [x.reshape(N).astype(jnp.int32)
                     for x in (tile, r, ext_infl, bins, sd)]
+            # per-class table-row columns ride the SAME sort, so the
+            # host fetch carries only the cap-window table rows each
+            # class actually processed — not the nb*(G+1)*6 padded
+            # tables (~197 KB/group at the bench G=2048, ~42% of the
+            # round-4 fetch)
+            trc = [rows[..., 0].reshape(N), start.reshape(N),
+                   stop.reshape(N), rows[..., 4].reshape(N),
+                   rows[..., 5].reshape(N)]
             members = [(valid & small & ~sim).reshape(N),
                        (valid & small & sim).reshape(N),
                        (valid & ~small).reshape(N)]
             planes = self._planes_fn()(flat)
-            parts, ncs, metas, outs = [tabs.reshape(-1)], [], [], []
+            heads = tabs[:, 0, :].reshape(-1)
+            parts, ncs, metas, tws, outs = [heads], [], [], [], []
             for proc, cap, member in zip(procs, caps, members):
-                key = jnp.where(member, iota_N, BIG)
-                srt = jax.lax.sort([key] + cols, num_keys=1)
-                # pad so a skip window never clamps out of range
-                srt = [jnp.concatenate(
-                    [s, jnp.full((cap,), BIG if i == 0 else 0, jnp.int32)])
-                    for i, s in enumerate(srt)]
                 nk = jnp.sum(member.astype(jnp.int32))
                 ncs.append(nk)
                 skip = skips[proc.cls]
-                win = [jax.lax.dynamic_slice(s, (skip,), (cap,))
-                       for s in srt]
-                in_cap = np.arange(cap, dtype=np.int32) < (nk - skip)
-                metas.append(jnp.where(in_cap, win[0], -1))
                 J, Bb = proc.n_jobs, proc.batch
-                pr = jnp.stack([jnp.where(in_cap, w, 0) for w in win[1:]])
-                params = pr.reshape(5, J, Bb).transpose(1, 0, 2)
+
+                def routed(member=member, cap=cap, skip=skip, nk=nk,
+                           J=J, Bb=Bb):
+                    key = jnp.where(member, iota_N, BIG)
+                    srt = jax.lax.sort([key] + cols + trc, num_keys=1)
+                    # pad so a skip window never clamps out of range
+                    srt = [jnp.concatenate(
+                        [s, jnp.full((cap,), BIG if i == 0 else 0,
+                                     jnp.int32)])
+                        for i, s in enumerate(srt)]
+                    win = [jax.lax.dynamic_slice(s, (skip,), (cap,))
+                           for s in srt]
+                    in_cap = np.arange(cap, dtype=np.int32) \
+                        < (nk - skip)
+                    meta = jnp.where(in_cap, win[0], -1)
+                    pr = jnp.stack([jnp.where(in_cap, w, 0)
+                                    for w in win[1:6]])
+                    params = pr.reshape(5, J, Bb).transpose(1, 0, 2)
+                    # fetched table rows: [id, start, stop, bin, mag,
+                    # noise] — win[4] is the routing bin column
+                    tw = jnp.stack([win[6], win[7], win[8], win[4],
+                                    win[9], win[10]])
+                    return meta, jnp.where(in_cap[None, :], tw, 0), \
+                        params
+
+                def empty(cap=cap, J=J, Bb=Bb):
+                    return (jnp.full((cap,), -1, jnp.int32),
+                            jnp.zeros((6, cap), jnp.int32),
+                            jnp.zeros((J, 5, Bb), jnp.int32))
+
+                # an empty (or drained) class skips its 11-operand sort
+                meta, tw, params = jax.lax.cond(nk > skip, routed,
+                                                empty)
+                metas.append(meta)
+                tws.append(tw.reshape(-1))
                 out = proc.raw(flat, planes, params)
                 outs.append(out.reshape(-1))
-            parts += [jnp.stack(ncs)] + metas + outs
+            parts += [jnp.stack(ncs)] + metas + tws + outs
             return jnp.concatenate(parts)
 
         fn = jax.jit(fused)
         fn.caps = caps
+        fn.Ws = [pr.W for pr in procs]
+        fn.mss = [pr.max_symbols for pr in procs]
         self._fused_cache[nb] = fn
         return fn
 
@@ -793,70 +852,74 @@ class Pipeline:
         capacity and the group must be re-dispatched with new_skips."""
         p, dmp = self.p, self.dmp
         nb, G = len(ctxs), p.gone_capacity
-        caps = self._fused_for(nb).caps
-        T = nb * (G + 1) * 6
-        tabs = buf[:T].reshape(nb, G + 1, 6)
-        ncs = buf[T:T + 3].astype(np.int64)
-        o = T + 3
-        metas, rows_l = [], []
-        W = packed_width(dmp.max_symbols, self.want_llr)
+        fused = self._fused_for(nb)
+        caps, Ws, mss = fused.caps, fused.Ws, fused.mss
+        o = nb * 6
+        heads = buf[:o].reshape(nb, 6)
+        ncs = buf[o:o + 3].astype(np.int64)
+        o += 3
+        metas, tws, rows_l = [], [], []
         for cap in caps:
             metas.append(buf[o:o + cap])
             o += cap
         for cap in caps:
+            tws.append(buf[o:o + 6 * cap].reshape(6, cap))
+            o += 6 * cap
+        for cap, W in zip(caps, Ws):
             rows_l.append(buf[o:o + cap * W].reshape(cap, W))
             o += cap * W
 
         if first_round:
-            for bi in range(nb):
-                g_count = int(tabs[bi, 0, 0])
-                n_tagged = int(tabs[bi, 0, 1])
-                with self._lock:
-                    self.prev_tagged = max(self.prev_tagged, n_tagged)
-                    self.stats.n_detected += g_count
-                    self.stats.n_dropped = (self.prev_tagged
-                                            - self.stats.n_detected)
+            with self._lock:
+                for bi in range(nb):
+                    self.prev_tagged = max(self.prev_tagged,
+                                           int(heads[bi, 1]))
+                    self.stats.n_detected += int(heads[bi, 0])
+                self.stats.n_dropped = (self.prev_tagged
+                                        - self.stats.n_detected)
+                # cumulative scan diagnostics (head slots 2/3)
+                self.stats.n_em_dropped = max(self.stats.n_em_dropped,
+                                              int(heads[:, 2].max()))
+                self.stats.n_create_waits = max(
+                    self.stats.n_create_waits, int(heads[:, 3].max()))
 
-        meta = np.concatenate(metas)
-        rows = np.concatenate(rows_l, axis=0)
-        sel = meta >= 0
-        new_skips = np.minimum(skips + np.asarray(caps, np.int64), ncs)
-        done = bool(np.all(ncs <= skips + np.asarray(caps, np.int64)))
-        if sel.any():
-            u = unpack_outputs(rows, dmp.max_symbols, self.want_llr)
+        base0 = ctxs[0][2]
+        for meta, tw, rows, ms in zip(metas, tws, rows_l, mss):
+            sel = meta >= 0
+            if not sel.any():
+                continue
+            u = unpack_outputs(rows, ms, self.want_llr)
             with self._lock:
                 self.stats.n_handled += int((u["dm_ok"] & sel).sum())
             ok = u["dm_ok"] & u["dd_ok"] & sel
             with self._lock:
                 self.stats.n_ok += int(ok.sum())
-            if ok.any():
-                t1 = time.perf_counter()
-                base0 = ctxs[0][2]
-                jsel = np.nonzero(ok)[0]
-                flat = meta[jsel].astype(np.int64)
-                bi_a, gi_a = flat // G, flat % G
-                # reconstruct the alignment lead for timestamps (same
-                # math as the device routing, in int64)
-                s = tabs[bi_a, 1 + gi_a, 1].astype(np.int64)
-                absm = base0 + bi_a * p.block_samples + s
-                cl = np.maximum(absm, 0)
-                fpos = (cl - base0 - bi_a * p.block_samples
-                        + self.l_ext + bi_a * self.stream_len)
-                lead = (fpos % self._wg.ALIGN) - fpos % dmp.decimation
-                abs_al = cl - lead
-                rows_sel = tabs[bi_a, 1 + gi_a]          # (n_sel, 6)
-                mags = np.ascontiguousarray(
-                    rows_sel[:, 4]).view(np.float32)
-                noises = np.ascontiguousarray(
-                    rows_sel[:, 5]).view(np.float32)
-                frames = build_frames_np(
-                    p, dmp, self.in_ntaps, self.start_time_ns,
-                    rows_sel[:, 0], rows_sel[:, 3], mags, noises,
-                    abs_al, u, jsel)
-                for f, bi in zip(frames, bi_a.tolist()):
-                    out[bi].append(f)
-                with self._lock:
-                    self.timing["host_format"] += time.perf_counter() - t1
+            if not ok.any():
+                continue
+            t1 = time.perf_counter()
+            jsel = np.nonzero(ok)[0]
+            bi_a = meta[jsel].astype(np.int64) // G
+            # reconstruct the alignment lead for timestamps (same
+            # math as the device routing, in int64)
+            s = tw[1, jsel].astype(np.int64)
+            absm = base0 + bi_a * p.block_samples + s
+            cl = np.maximum(absm, 0)
+            fpos = (cl - base0 - bi_a * p.block_samples
+                    + self.l_ext + bi_a * self.stream_len)
+            lead = (fpos % self._wg.ALIGN) - fpos % dmp.decimation
+            abs_al = cl - lead
+            mags = np.ascontiguousarray(tw[4, jsel]).view(np.float32)
+            noises = np.ascontiguousarray(tw[5, jsel]).view(np.float32)
+            frames = build_frames_np(
+                p, dmp, self.in_ntaps, self.start_time_ns,
+                tw[0, jsel], tw[3, jsel], mags, noises,
+                abs_al, u, jsel)
+            for f, bi in zip(frames, bi_a.tolist()):
+                out[bi].append(f)
+            with self._lock:
+                self.timing["host_format"] += time.perf_counter() - t1
+        new_skips = np.minimum(skips + np.asarray(caps, np.int64), ncs)
+        done = bool(np.all(ncs <= skips + np.asarray(caps, np.int64)))
         return new_skips, done
 
     def _finish_group(self, ctxs) -> list[list[dict]]:

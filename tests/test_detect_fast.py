@@ -148,11 +148,45 @@ def test_fast_squelch_overflow_drop_accounting():
     # the squelch frame flags 20 bursts; 16 emit, >=4 drop (post-squelch
     # recreation can add fully-emitted delete events but never drops)
     assert n_tagged - n_emitted >= 4, (n_tagged, n_emitted)
+    # round 5: the drop count is now surfaced as a state field
+    assert int(st.burst_dropped) >= 4
     assert n_emitted >= 16
     # squelch emission burst: >=16 rows sharing one stop frame
     from collections import Counter
     stops = Counter(g["stop"] for g in got)
     assert max(stops.values()) >= 16
+
+
+def test_drop_counters_reach_pipeline_stats():
+    """The surfaced burst_dropped counter must ride the detect-step
+    head row into PipelineStats.n_em_dropped (the stats d: breakdown,
+    reference drop accounting analogue: burst_detect.c:929-937)."""
+    from iridium_tpu.config import DetectorConfig
+    from iridium_tpu.runtime.pipeline import Pipeline
+
+    cfg = DetectorConfig(
+        sample_rate=1_000_000, history_size=64, frames_per_block=256,
+        burst_capacity=32, max_new_per_frame=8, gone_capacity=64,
+        max_bursts=20)
+    p = cfg.derived()
+    bw_hz = p.sample_rate / p.fft_size
+    t_blast, t_end = 0.16, 0.165
+    events = []
+    for i in range(20):
+        f = -420_000.0 + i * 42_000.0
+        if abs(f) < 5 * bw_hz:
+            f += 6 * bw_hz
+        events.append((0.10 + 0.002 * i, t_end - (0.10 + 0.002 * i),
+                       f, 0.06))
+    for i in range(4):
+        events.append((t_blast, t_end - t_blast,
+                       431_000.0 + i * 12_000.0, 0.06))
+    x = tone_capture(p, events)
+    pipe = Pipeline(det_cfg=cfg, burst_batch=8, start_time_ns=0,
+                    detect_impl="fast")
+    list(pipe.run_array(x))
+    assert pipe.stats.n_em_dropped >= 4
+    assert pipe.stats.n_dropped >= pipe.stats.n_em_dropped
 
 
 def test_fast_mass_deletion_mask_release():

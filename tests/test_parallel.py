@@ -142,6 +142,20 @@ def test_sharded_multiblock_raw_parity(mesh8):
     assert sharded == single
     assert sp.stats.n_detected == pipe1.stats.n_detected
     assert sp.stats.n_ok == pipe1.stats.n_ok
+    # round-5 group aggregation: 4 blocks at the default agg_blocks=4
+    # -> ONE stacked result fetch for the whole capture
+    assert sp.agg_blocks == 4
+    assert sp.timing["n_blocks"] == 4
+    assert sp.timing["n_groups"] == 1
+
+    # agg=1 (the live-latency setting) must emit identical output with
+    # per-block fetches
+    sp1 = ShardedPipeline(cfg, mesh=mesh8, burst_batch=4,
+                          start_time_ns=t0, agg_blocks=1)
+    sharded1 = sorted(_strip_id(printer.format(f))
+                      for f in sp1.run_array(cap))
+    assert sharded1 == single
+    assert sp1.timing["n_groups"] == 4
 
 
 def test_dryrun_entrypoints():

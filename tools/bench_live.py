@@ -82,6 +82,76 @@ def line_ts(line):
     return float(m.group(1)) / 1e3 if m else None
 
 
+def staged_mode(cap, rate, fpb, reps, burst_batch=128, group_jobs=12):
+    """STAGED-live variant (VERDICT round-4 ask): blocks pre-staged on
+    device, agg_blocks=1 (one fetch per block — the live latency
+    shape), isolating the COMPUTE path from the tunnel upload exactly
+    as the offline bench's staged/ingest split does. Returns
+    (throughput_rtf, paced p50/p95 output latency).
+
+    Latency definition: a block's samples are all "received" at its
+    airtime end; latency of its frames = wall(frames yielded) -
+    airtime end, measured while pacing ingest at 1x realtime."""
+    import jax
+    import jax.numpy as jnp
+
+    from iridium_tpu.config import DetectorConfig
+    from iridium_tpu.runtime.pipeline import Pipeline
+
+    det = DetectorConfig(sample_rate=rate, frames_per_block=fpb,
+                         gone_capacity=2048)
+    pipe = Pipeline(det_cfg=det, want_llr=False, agg_blocks=1,
+                    burst_batch=burst_batch, group_jobs=group_jobs,
+                    start_time_ns=0)
+    bs = pipe.p.block_samples
+    blk_s = bs / rate
+    blocks = []
+    for i0 in range(0, len(cap) - bs + 1, bs):
+        pairs = cap[i0:i0 + bs].view(np.float32).reshape(-1, 2)
+        blocks.append(jax.device_put(jnp.asarray(pairs)))
+    jax.block_until_ready(blocks)
+    seq = blocks * reps
+
+    n = sum(len(fl) for fl in pipe.run_blocks(
+        (b, bs) for b in seq[:len(blocks)]))     # warm (compiles)
+    print(f"staged warm: {n} frames", file=sys.stderr, flush=True)
+
+    # throughput: free-running over reps copies of the staged capture
+    pipe.reset(start_time_ns=0)
+    t0 = time.perf_counter()
+    n = sum(len(fl) for fl in pipe.run_blocks((b, bs) for b in seq))
+    span = time.perf_counter() - t0
+    rtf = len(seq) * blk_s / span
+    ok_per_s = n / (len(seq) * blk_s)
+    print(f"staged-live: {len(seq)} blocks in {span:.2f} s -> "
+          f"{rtf:.2f}x realtime, {n} frames", file=sys.stderr,
+          flush=True)
+
+    # paced pass: 1x-realtime ingest, per-block output latency
+    pipe.reset(start_time_ns=0)
+    start = time.perf_counter()
+
+    def paced():
+        for i, b in enumerate(seq):
+            target = start + (i + 1) * blk_s
+            dt = target - time.perf_counter()
+            if dt > 0:
+                time.sleep(dt)
+            yield b, bs
+
+    lats = []
+    for k, frames in enumerate(pipe.run_blocks(paced())):
+        if frames:
+            lats.append(time.perf_counter() - start - (k + 1) * blk_s)
+    lats = np.array(lats) if lats else np.array([np.nan])
+    p50 = float(np.percentile(lats, 50))
+    p95 = float(np.percentile(lats, 95))
+    print(f"staged paced latency: p50={p50:.2f} s p95={p95:.2f} s "
+          f"(block fill floor {blk_s:.2f} s is upstream of this)",
+          file=sys.stderr, flush=True)
+    return rtf, ok_per_s, p50, p95
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=4)
@@ -89,6 +159,10 @@ def main():
     ap.add_argument("--burst-rate", type=float, default=175.0)
     ap.add_argument("--frames-per-block", type=int, default=512)
     ap.add_argument("--skip-latency", action="store_true")
+    ap.add_argument("--staged", action="store_true",
+                    help="run the STAGED-live variant instead (blocks "
+                         "pre-staged on device, agg=1: isolates the "
+                         "compute path from the tunnel upload)")
     args = ap.parse_args()
 
     import bench as bench_mod
@@ -101,6 +175,16 @@ def main():
     cap_bytes = cap.view(np.float32).tobytes()
     print(f"capture: {secs:.2f} s x {args.reps} reps, {n_inj} bursts",
           file=sys.stderr)
+
+    if args.staged:
+        rtf, ok_per_s, p50, p95 = staged_mode(cap, rate, fpb,
+                                              args.reps)
+        print(json.dumps(dict(
+            metric="live_staged", capture_s=round(secs, 2),
+            throughput_rtf=round(rtf, 2), ok_per_s=round(ok_per_s, 1),
+            latency_p50_s=round(p50, 2), latency_p95_s=round(p95, 2),
+            block_fill_floor_s=round(bs / rate, 2))), flush=True)
+        return
 
     t0, lines = run_mode(cap_bytes, rate, fpb, args.reps, False, secs)
     # steady state: drop repetition 1 (startup/compile)
