@@ -72,7 +72,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_capture(n_blocks, block_samples, rate, burst_rate, seed=0):
+def make_capture(n_blocks, block_samples, rate, burst_rate, seed=0,
+                 snr_range=(14.0, 35.0)):
     """Noise floor + Poisson-arrival bursts, mixed DL/UL, varied SNR and
     payload length, random carrier offsets across the 10 MHz band.
 
@@ -125,7 +126,7 @@ def make_capture(n_blocks, block_samples, rate, burst_rate, seed=0):
             break
         x = pool[int(rng.integers(len(pool)))]
         f = float(rng.uniform(-4.3e6, 4.3e6))
-        snr_db = float(rng.uniform(14.0, 35.0))
+        snr_db = float(rng.uniform(*snr_range))
         amp = np.float32(noise_floor * 10.0 ** (snr_db / 20.0))
         n = np.arange(len(x), dtype=np.float64)
         cap[pos:pos + len(x)] += (
@@ -444,6 +445,53 @@ def run_child(args) -> None:
         finally:
             os.unlink(cap_path)
 
+    # High-SNR quality mix (VERDICT round-4 ask): the main capture's
+    # uniform 14-35 dB SNR lands at ~44% ok — fair (the C reference
+    # scores the same) but below the reference's real-capture 68-75%
+    # regime (BASELINE.md). A second, cleaner mix anchors quality on
+    # clean bursts too; the pipeline is already warm (same shapes).
+    high = None
+    if not args.no_high_snr:
+        try:
+            cap_hi, n_hi = make_capture(
+                min(args.blocks, 4), bs, rate, args.burst_rate,
+                seed=args.seed + 1, snr_range=(24.0, 40.0))
+            secs_hi = len(cap_hi) / rate
+            blocks_hi = []
+            for i0 in range(0, len(cap_hi), bs):
+                pairs = cap_hi[i0:i0 + bs].view(np.float32) \
+                    .reshape(-1, 2)
+                blocks_hi.append((jnp.asarray(pairs), bs))
+            pipe.reset(start_time_ns=1_700_000_000_000_000_000)
+            frames_hi = [f for fl in pipe.run_blocks(iter(blocks_hi))
+                         for f in fl]
+            st_hi = pipe.stats
+            ok_hi = (100.0 * st_hi.n_ok / st_hi.n_detected
+                     if st_hi.n_detected else 0.0)
+            high = {
+                "ok_pct": round(ok_hi, 1),
+                "detected_per_s": round(st_hi.n_detected / secs_hi, 1),
+                "raw_per_s": round(len(frames_hi) / secs_hi, 1),
+            }
+            key_hi = hashlib.sha1(
+                f"hi-{min(args.blocks, 4)}-{args.burst_rate}-"
+                f"{args.seed + 1}".encode()).hexdigest()[:12]
+            anchor_hi = (None if args.no_anchor
+                         else reference_anchor(cap_hi, rate, key_hi))
+            if anchor_hi:
+                ref_lines_hi = anchor_hi.pop("raw_lines", [])
+                high["ref_ok_pct"] = anchor_hi["ref_ok_pct"]
+                high["ref_raw_per_s"] = anchor_hi["ref_raw_per_s"]
+                if ref_lines_hi:
+                    from iridium_tpu.output.raw import RawPrinter
+                    pr = RawPrinter("bench")
+                    high["bit_parity"] = bit_parity(
+                        [pr.format(f) for f in frames_hi],
+                        ref_lines_hi)
+            log(f"high-SNR mix ({n_hi} bursts, 24-40 dB): {high}")
+        except Exception as e:                   # pragma: no cover
+            log(f"high-SNR mix failed: {e}")
+
     key = hashlib.sha1(
         f"{args.blocks}-{args.burst_rate}-{args.seed}".encode()
     ).hexdigest()[:12]
@@ -485,6 +533,8 @@ def run_child(args) -> None:
         out["ingest_rtf"] = ingest_rtf
     if parity:
         out["bit_parity"] = parity
+    if high:
+        out["high_snr"] = high
     if anchor:
         out.update(anchor)
     print(json.dumps(out), flush=True)
@@ -504,6 +554,7 @@ def main() -> None:
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--no-anchor", action="store_true")
     ap.add_argument("--no-ingest", action="store_true")
+    ap.add_argument("--no-high-snr", action="store_true")
     ap.add_argument("--skip-regime-check", action="store_true")
     args = ap.parse_args()
 
@@ -526,6 +577,8 @@ def main() -> None:
             extra += ["--no-anchor"]
         if args.no_ingest:
             extra += ["--no-ingest"]
+        if args.no_high_snr or attempt >= 2:
+            extra += ["--no-high-snr"]
         cmd = [sys.executable, os.path.abspath(__file__), "--child",
                "--blocks", str(args.blocks),
                "--burst-rate", str(args.burst_rate),

@@ -87,7 +87,8 @@ class ShardedPipeline:
                  gather_mode: str = "auto",
                  detect_impl: str = "fast",
                  group_jobs: int = 2,
-                 agg_blocks: int = 4):
+                 agg_blocks: int = 4,
+                 detect_mode: str = "replicated"):
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), (AXIS,))
         self.mesh = mesh
@@ -96,6 +97,23 @@ class ShardedPipeline:
         self.dmp: DownmixParams = (dm_cfg or DownmixConfig()).derived(self.p)
         p, dmp, n = self.p, self.dmp, self.n
 
+        # detect_mode (round 5):
+        #   "replicated" (default): the spectrogram is computed on each
+        #     chip's TIME slice, all_gathered over ICI (64 MB/block at
+        #     production shapes — sub-ms on chip links), and the
+        #     detector state machine runs IDENTICALLY on every chip
+        #     (the single-Mosaic-kernel scan costs ~3 ms/block, so
+        #     replicating it is far cheaper than the bin-sharded
+        #     scan's per-frame psum coupling + fixed per-frame op
+        #     count, which does NOT shrink with shard width). No
+        #     detect collectives at all; burst ids and tables match
+        #     single-chip EXACTLY.
+        #   "binshard": the round-4 per-bin sharded scan (one
+        #     two-element psum per frame) — kept as the A/B twin and
+        #     for meshes where even the replicated scan's fixed cost
+        #     matters.
+        assert detect_mode in ("replicated", "binshard"), detect_mode
+        self.detect_mode = detect_mode
         assert p.fft_size % n == 0, "fft_size must divide by mesh size"
         assert (p.frames_per_block % n) == 0, \
             "frames_per_block must divide by mesh size"
@@ -106,7 +124,7 @@ class ShardedPipeline:
         # chains can still race at borders — same tolerance class as the
         # reference's own GPU-vs-CPU divergence (README.md:226).
         self.halo = 2 * (p.burst_width_bins // 2) + 1
-        assert self.halo <= self.own_bins, \
+        assert detect_mode == "replicated" or self.halo <= self.own_bins, \
             "bin shard narrower than burst mask halo"
         self.n_bins_local = self.own_bins + 2 * self.halo
         self.burst_batch = burst_batch
@@ -155,9 +173,15 @@ class ShardedPipeline:
     # ---- state helpers ----
 
     def init_state(self):
-        """Stacked per-shard state, sharded over the mesh."""
+        """Replicated full-spectrum state (detect_mode=replicated) or
+        stacked per-shard state sharded over the mesh (binshard)."""
         mk = (detect_fast.init_state if self.detect_impl == "fast"
               else detect.init_state)
+        if self.detect_mode == "replicated":
+            st = mk(self.p)
+            sh = NamedSharding(self.mesh, P())
+            return jax.tree.map(
+                lambda x: jax.device_put(np.asarray(x), sh), st)
         shards = [mk(self.p, self.n_bins_local, id_offset=i)
                   for i in range(self.n)]
         stacked = jax.tree.map(lambda *xs: np.stack(xs), *shards)
@@ -262,7 +286,23 @@ class ShardedPipeline:
         perm_r = [(i, (i + 1) % n) for i in range(n)]
         perm_l = [(i, (i - 1) % n) for i in range(n)]
         fast = self.detect_impl == "fast"
-        if fast:
+        rep = self.detect_mode == "replicated"
+        if rep:
+            from ..dsp import detect_pallas
+            if fast and detect_pallas.resolve_impl(p, "auto") == "pallas":
+                run_rep = detect_pallas.make_scan_pallas(p)
+            elif fast:
+                run_rep = detect_fast.make_scan_fast(p)
+            else:
+                frame_step_rep = detect.make_frame_step(p)
+
+                def run_rep(mag2, state, n_valid):
+                    idxs = np.arange(p.frames_per_block,
+                                     dtype=np.int32) * F
+                    active = (idxs + F) <= n_valid
+                    return detect.run_state_machine(
+                        mag2, idxs, active, state, frame_step_rep)
+        elif fast:
             run_fast = detect_fast.make_scan_fast(p, FL, axis_name=AXIS,
                                                   id_stride=n)
 
@@ -270,6 +310,31 @@ class ShardedPipeline:
             return jax.lax.bitcast_convert_type(v, jnp.int32)
 
         # -- detect --
+
+        def shard_detect_rep(pairs_loc, state, n_valid, do_rebase):
+            """Replicated scan: local-time spectrogram, all_gather the
+            frame rows over ICI, then the full-spectrum state machine
+            runs identically on every chip (no collectives; tables and
+            burst ids equal single-chip bit-for-bit)."""
+            shift = do_rebase * p.block_samples
+            state = state._replace(
+                a_start=state.a_start - shift,
+                a_last=state.a_last - shift,
+                g_count=state.g_count * 0)
+            samples_loc = jax.lax.complex(pairs_loc[:, 0],
+                                          pairs_loc[:, 1])
+            mag2_loc = detect.spectrogram(samples_loc, window, F)
+            mag2 = jax.lax.all_gather(mag2_loc, AXIS, tiled=True)
+            state = run_rep(mag2, state, n_valid)
+            z = jnp.zeros((), jnp.int32)
+            head = jnp.stack([state.g_count, state.n_tagged,
+                              getattr(state, "burst_dropped", z),
+                              getattr(state, "create_waits", z), z, z])
+            rows = jnp.stack(
+                [state.g_id, state.g_start, state.g_stop, state.g_bin,
+                 bc_i32(state.g_mag), bc_i32(state.g_noise)], axis=1)
+            packed = jnp.concatenate([head[None, :], rows], axis=0)
+            return state, packed
 
         def shard_detect(pairs_loc, state, n_valid, do_rebase):
             state = jax.tree.map(lambda x: x[0], state)
@@ -321,14 +386,26 @@ class ShardedPipeline:
             state = jax.tree.map(lambda x: x[None], state)
             return state, packed[None]
 
-        init_for_specs = (detect_fast.init_state(self.p, FL) if fast
-                          else detect.init_state(self.p, FL))
-        state_specs = jax.tree.map(lambda _: P(AXIS), init_for_specs)
-        detect_sm = jax.shard_map(
-            shard_detect, mesh=self.mesh,
-            in_specs=(P(AXIS), state_specs, P(), P()),
-            out_specs=(state_specs, P(AXIS)),
-            check_vma=False)
+        if rep:
+            init_for_specs = (detect_fast.init_state(self.p) if fast
+                              else detect.init_state(self.p))
+            state_specs = jax.tree.map(lambda _: P(), init_for_specs)
+            packed_spec = P()
+            detect_sm = jax.shard_map(
+                shard_detect_rep, mesh=self.mesh,
+                in_specs=(P(AXIS), state_specs, P(), P()),
+                out_specs=(state_specs, packed_spec),
+                check_vma=False)
+        else:
+            init_for_specs = (detect_fast.init_state(self.p, FL) if fast
+                              else detect.init_state(self.p, FL))
+            state_specs = jax.tree.map(lambda _: P(AXIS), init_for_specs)
+            packed_spec = P(AXIS)
+            detect_sm = jax.shard_map(
+                shard_detect, mesh=self.mesh,
+                in_specs=(P(AXIS), state_specs, P(), P()),
+                out_specs=(state_specs, packed_spec),
+                check_vma=False)
 
         def detect_step(pairs, state, n_valid, do_rebase, prev_tail):
             state, packed = detect_sm(pairs, state, n_valid, do_rebase)
@@ -337,13 +414,17 @@ class ShardedPipeline:
             tail = jnp.concatenate([prev_tail, pairs], axis=0)[-l_ext:]
             return state, packed, tail
 
+        def _spec_sh(spec):
+            return NamedSharding(self.mesh, spec)
+
+        st_spec = P() if rep else P(AXIS)
         self.detect_step = jax.jit(
             detect_step,
             out_shardings=(
-                jax.tree.map(lambda _: NamedSharding(self.mesh, P(AXIS)),
+                jax.tree.map(lambda _: _spec_sh(st_spec),
                              init_for_specs),
-                NamedSharding(self.mesh, P(AXIS)),
-                NamedSharding(self.mesh, P())))
+                _spec_sh(packed_spec),
+                _spec_sh(P())))
 
         # -- fused on-device-routed burst processing --
 
@@ -370,7 +451,9 @@ class ShardedPipeline:
         ALIGN = wg.ALIGN
         pre = p.burst_pre_len
         simplex_min = self.simplex_bin_min
-        NG = n * G
+        # replicated mode: ONE full table (every shard already has it);
+        # binshard: the per-shard tables are all_gathered and stacked
+        NG = G if rep else n * G
         iota_G = np.arange(G, dtype=np.int32)
         iota_NG = np.arange(NG, dtype=np.int32)
         BIG = np.int32(2**31 - 1)
@@ -404,8 +487,13 @@ class ShardedPipeline:
             stream = jnp.concatenate(
                 [left, local, jnp.zeros((l_ext,), jnp.complex64)])
 
-            # global gone tables over ICI (tiny: n*(G+1)*6 i32)
-            tabs = jax.lax.all_gather(packed_loc[0], AXIS)  # (n,G+1,6)
+            # global gone tables: replicated-detect shards already hold
+            # the ONE full table; binshard all_gathers the per-shard
+            # tables over ICI (tiny: n*(G+1)*6 i32)
+            if rep:
+                tabs = packed_loc[None]                # (1, G+1, 6)
+            else:
+                tabs = jax.lax.all_gather(packed_loc[0], AXIS)
             rows = tabs[:, 1:, :]
             valid = (iota_G[None, :] < tabs[:, 0, 0][:, None])
             start, stop, bins = rows[..., 1], rows[..., 2], rows[..., 3]
@@ -458,14 +546,15 @@ class ShardedPipeline:
                     .transpose(1, 0, 2)
                 out = bk(stream, planes, params)
                 outs.append(out.reshape(-1))
+            tab_flat = (packed_loc if rep else packed_loc[0]) \
+                .reshape(-1)
             buf = jnp.concatenate(
-                [packed_loc[0].reshape(-1), jnp.stack(ncs)]
-                + metas + outs)
+                [tab_flat, jnp.stack(ncs)] + metas + outs)
             return buf[None]
 
         process_sm = jax.shard_map(
             shard_process, mesh=self.mesh,
-            in_specs=(P(AXIS), P(), P(AXIS), P(), P()),
+            in_specs=(P(AXIS), P(), P() if rep else P(AXIS), P(), P()),
             out_specs=P(AXIS),
             check_vma=False)
         self.process_step = jax.jit(process_sm)
@@ -562,17 +651,20 @@ class ShardedPipeline:
             o += cap * W
 
         if first:
-            counts = tabs[:, 0, 0]
-            n_tagged = int(tabs[:, 0, 1].sum())
+            # replicated detect: every shard carries the SAME table —
+            # count it once; binshard: per-shard tables are disjoint
+            eff = tabs[:1] if self.detect_mode == "replicated" else tabs
+            counts = eff[:, 0, 0]
+            n_tagged = int(eff[:, 0, 1].sum())
             self.prev_tagged = max(self.prev_tagged, n_tagged)
             self.stats.n_detected += int(counts.sum())
             self.stats.n_dropped = (self.prev_tagged
                                     - self.stats.n_detected)
-            # per-shard cumulative scan diagnostics, summed over shards
+            # cumulative scan diagnostics, summed over shards
             self.stats.n_em_dropped = max(self.stats.n_em_dropped,
-                                          int(tabs[:, 0, 2].sum()))
+                                          int(eff[:, 0, 2].sum()))
             self.stats.n_create_waits = max(self.stats.n_create_waits,
-                                            int(tabs[:, 0, 3].sum()))
+                                            int(eff[:, 0, 3].sum()))
 
         meta = np.concatenate(
             [m.reshape(-1) for m in metas])
@@ -653,6 +745,9 @@ class ShardedPipeline:
         occupancy counts first, then only the globally maximal occupied
         prefix (identical K on every process, so the collective shapes
         agree)."""
+        if self.detect_mode == "replicated":
+            # the ONE full table is replicated; every host reads it
+            return np.asarray(packed)[None]
         if jax.process_count() == 1:
             return np.asarray(packed)
         from jax.experimental import multihost_utils
@@ -745,7 +840,10 @@ class ShardedPipeline:
         shards, so only the owned span is summed."""
         p = self.p
         hist = np.asarray(jax.device_get(self.state.baseline_sum))
-        owned = hist[:, self.halo:self.halo + self.own_bins]
+        if self.detect_mode == "replicated":
+            owned = hist                       # full spectrum, (F,)
+        else:
+            owned = hist[:, self.halo:self.halo + self.own_bins]
         avg = float(owned.sum()) / (p.fft_size * p.history_size)
         bin_width = p.sample_rate / p.fft_size
         if avg > 0 and bin_width > 0:

@@ -55,7 +55,8 @@ def mesh8():
     return Mesh(np.array(devs[:8]), ("shards",))
 
 
-def test_sharded_detect_matches_single_chip(mesh8):
+@pytest.mark.parametrize("mode", ["binshard", "replicated"])
+def test_sharded_detect_matches_single_chip(mesh8, mode):
     cfg = tiny_cfg()
     p = cfg.derived()
     bits = np.random.default_rng(5).integers(0, 2, 200).astype(np.uint8)
@@ -70,14 +71,16 @@ def test_sharded_detect_matches_single_chip(mesh8):
         (int(s1.g_start[i]), int(s1.g_stop[i]), int(s1.g_bin[i]),
          round(float(s1.g_mag[i]), 3), round(float(s1.g_noise[i]), 3))
         for i in range(n1))
+    single_ids = sorted(int(s1.g_id[i]) for i in range(n1))
 
     # sharded detect step
-    sp = ShardedPipeline(cfg, mesh=mesh8, burst_batch=2, start_time_ns=0)
+    sp = ShardedPipeline(cfg, mesh=mesh8, burst_batch=2,
+                         start_time_ns=0, detect_mode=mode)
     ctx = sp._dispatch_step(cap, len(cap))
     pk = sp._fetch_gone(ctx[2])
     sharded = []
     ids = []
-    for sh in range(8):
+    for sh in range(pk.shape[0]):
         for i in range(int(pk[sh, 0, 0])):
             r = pk[sh, 1 + i]
             sharded.append((int(r[1]), int(r[2]), int(r[3]),
@@ -87,13 +90,17 @@ def test_sharded_detect_matches_single_chip(mesh8):
     assert n1 >= 1
     assert sorted(sharded) == single
     assert len(set(ids)) == len(ids)          # globally unique burst ids
+    if mode == "replicated":
+        # the replicated scan reproduces single-chip ids exactly
+        assert sorted(ids) == single_ids
 
 
 def _strip_id(line: str) -> str:
     return re.sub(r"I:\d{11}", "I:-----------", line)
 
 
-def test_sharded_multiblock_raw_parity(mesh8):
+@pytest.mark.parametrize("mode", ["binshard", "replicated"])
+def test_sharded_multiblock_raw_parity(mesh8, mode):
     """4-block capture with bursts inside blocks AND straddling block
     boundaries: the sharded driver's RAW lines must equal the single-chip
     pipeline's (id field masked)."""
@@ -136,7 +143,8 @@ def test_sharded_multiblock_raw_parity(mesh8):
                     for f in pipe1.run_array(cap))
     assert len(single) >= 4, "oracle pipeline missed synthetic bursts"
 
-    sp = ShardedPipeline(cfg, mesh=mesh8, burst_batch=4, start_time_ns=t0)
+    sp = ShardedPipeline(cfg, mesh=mesh8, burst_batch=4,
+                         start_time_ns=t0, detect_mode=mode)
     sharded = sorted(_strip_id(printer.format(f))
                      for f in sp.run_array(cap))
     assert sharded == single
@@ -147,11 +155,20 @@ def test_sharded_multiblock_raw_parity(mesh8):
     assert sp.agg_blocks == 4
     assert sp.timing["n_blocks"] == 4
     assert sp.timing["n_groups"] == 1
+    if mode == "replicated":
+        # replicated scan: even the burst-ID field matches single-chip
+        # (same scan, same inputs) — compare WITHOUT the id mask
+        sp.reset(start_time_ns=t0)
+        pipe1.reset(start_time_ns=t0)
+        full_sh = sorted(printer.format(f) for f in sp.run_array(cap))
+        full_1 = sorted(printer.format(f) for f in pipe1.run_array(cap))
+        assert full_sh == full_1
 
     # agg=1 (the live-latency setting) must emit identical output with
     # per-block fetches
     sp1 = ShardedPipeline(cfg, mesh=mesh8, burst_batch=4,
-                          start_time_ns=t0, agg_blocks=1)
+                          start_time_ns=t0, agg_blocks=1,
+                          detect_mode=mode)
     sharded1 = sorted(_strip_id(printer.format(f))
                       for f in sp1.run_array(cap))
     assert sharded1 == single

@@ -135,27 +135,36 @@ def main():
           f" {op1:.0f} ms op-time)", file=sys.stderr)
 
     mesh = Mesh(np.array(jax.devices()[:8]), ("shards",))
-    sp = ShardedPipeline(cfg, mesh=mesh, burst_batch=8, start_time_ns=0)
-    dt8, n8, op8 = run(sp, "sharded")
-    print(f"8-dev sharded: {dt8:.2f} s ({secs/dt8:.2f}x rt, {n8} frames,"
-          f" {op8:.0f} ms op-time, "
-          f"{op8/8:.0f} ms/shard)", file=sys.stderr)
-
-    inflation = op8 / op1 if op1 > 0 else float("nan")
-    print(json.dumps({
+    out = {
         "metric": "sharded_device_work_inflation_cpu_mesh",
-        "value": round(inflation, 3),
         "unit": "x_single_device_op_time",
-        "projected_scaling_efficiency": round(1.0 / inflation, 3)
-        if inflation > 0 else None,
         "single_op_time_ms": round(op1, 1),
-        "sharded_op_time_ms": round(op8, 1),
-        "per_shard_op_time_ms": round(op8 / 8, 1),
-        "wall_ratio_single_over_sharded": round(dt1 / dt8, 3),
         "single_wall_s": round(dt1, 2),
-        "sharded_wall_s": round(dt8, 2),
-        "frames": [n1, n8],
-    }))
+        "frames_single": n1,
+    }
+    for mode in ("replicated", "binshard"):
+        sp = ShardedPipeline(cfg, mesh=mesh, burst_batch=8,
+                             start_time_ns=0, detect_mode=mode)
+        dt8, n8, op8 = run(sp, f"sharded_{mode}")
+        print(f"8-dev sharded ({mode}): {dt8:.2f} s "
+              f"({secs/dt8:.2f}x rt, {n8} frames, {op8:.0f} ms op-time,"
+              f" {op8/8:.0f} ms/shard)", file=sys.stderr)
+        inflation = op8 / op1 if op1 > 0 else float("nan")
+        out[mode] = {
+            "inflation": round(inflation, 3),
+            "projected_scaling_efficiency": round(1.0 / inflation, 3),
+            "sharded_op_time_ms": round(op8, 1),
+            "per_shard_op_time_ms": round(op8 / 8, 1),
+            "wall_ratio_single_over_sharded": round(dt1 / dt8, 3),
+            "sharded_wall_s": round(dt8, 2),
+            "frames": n8,
+        }
+    # NOTE: the CPU proxy runs the XLA scan on every shard — it cannot
+    # see the Mosaic-kernel scan that makes the replicated mode cheap
+    # on TPU hardware (detect_pallas); tools/bench_mesh1.py prices the
+    # real per-chip program on the TPU itself.
+    out["value"] = out["replicated"]["inflation"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
