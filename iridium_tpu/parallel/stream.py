@@ -221,7 +221,10 @@ class ShardedPipeline:
             self._max_symbols_for(frame_cap),
             dmp.samples_per_symbol, use_gardner)
         want_llr = self.want_llr
-        s2_pad = 2 * dmp.max_symbols
+        # per-CLASS packed width (round 5, like the single-chip
+        # processors): pad only to this bucket's own symbol cap
+        ms_cls = self._max_symbols_for(frame_cap)
+        s2_pad = 2 * ms_cls
         on_tpu = jax.default_backend() == "tpu"
         use_pallas = (self.gather_mode == "pallas"
                       or (self.gather_mode == "auto" and on_tpu))
@@ -237,7 +240,7 @@ class ShardedPipeline:
         else:
             fused_fn = None
             gfn = wg.make_window_gather(l_win) if use_pallas else None
-        W = pl_mod.packed_width(dmp.max_symbols, want_llr)
+        W = pl_mod.packed_width(ms_cls, want_llr)
 
         def one(stream, planes, pr):
             def live():
@@ -271,6 +274,8 @@ class ShardedPipeline:
 
         run.n_jobs = J
         run.batch = Bb
+        run.W = W
+        run.max_symbols = ms_cls
         return run
 
     def _build(self, use_gardner: bool):
@@ -430,21 +435,28 @@ class ShardedPipeline:
 
         cap_n = int(iridium.MAX_FRAME_LENGTH_NORMAL
                     * dmp.samples_per_symbol) + 8
+        # fewer, fuller jobs per class (round-5 reshape, mirroring the
+        # single-chip processors: per-JOB fixed cost dominated the
+        # dense-group profile)
         Bb = self.burst_batch
         Bl = max(2, Bb // 8)
         J = self.group_jobs
         buckets = [
-            self._make_bucket(l_small, cap_n, J, Bb, use_gardner),
+            self._make_bucket(l_small, cap_n, max(J // 2, 1), 2 * Bb,
+                              use_gardner),
             self._make_bucket(l_small, dmp.max_frame_samples,
-                              max(J // 2, 1), Bl, use_gardner),
+                              max(J // 6, 1), 3 * Bl, use_gardner),
             self._make_bucket(l_ext, dmp.max_frame_samples,
-                              max(J // 4, 1), Bl, use_gardner),
+                              max(J // 12, 1), 3 * Bl, use_gardner),
         ]
         self.class_caps = [b.n_jobs * b.batch for b in buckets]
-        W = pl_mod.packed_width(dmp.max_symbols, self.want_llr)
-        self.packed_w = W
-        self.buf_len = ((G + 1) * 6 + 3 + sum(self.class_caps)
-                        + sum(self.class_caps) * W)
+        self.class_ws = [b.W for b in buckets]
+        self.class_mss = [b.max_symbols for b in buckets]
+        # per-shard buffer: [head (6)] [ncs (3)] [metas] [table
+        # windows (6*cap per class)] [packed rows at per-class widths]
+        self.buf_len = (6 + 3 + 7 * sum(self.class_caps)
+                        + sum(c * w for c, w in zip(self.class_caps,
+                                                    self.class_ws)))
         k_hops = self.k_hops
         hist_pad = k_hops * ls - l_ext
         decim = dmp.decimation
@@ -515,6 +527,12 @@ class ShardedPipeline:
             sim = bins >= simplex_min
             cols = [x.reshape(NG).astype(jnp.int32)
                     for x in (tile, r, ext_infl, bins, sd)]
+            # table-row columns ride the routing sort so the fetch
+            # carries only processed bursts' rows (round-5 trim, like
+            # the single-chip fused program)
+            trc = [rows[..., 0].reshape(NG), start.reshape(NG),
+                   stop.reshape(NG), rows[..., 4].reshape(NG),
+                   rows[..., 5].reshape(NG)]
             members = [
                 (valid & mine & small & ~sim).reshape(NG),
                 (valid & mine & small & sim).reshape(NG),
@@ -523,33 +541,49 @@ class ShardedPipeline:
             pr_, pi_ = wg.stream_planes(stream)
             from ..ops import fused_frontend as _ff
             planes = (pr_, pi_, _ff.stack_planes(pr_, pi_))
-            outs, metas, ncs = [], [], []
+            outs, metas, tws, ncs = [], [], [], []
             for k, (bk, cap, member) in enumerate(
                     zip(buckets, self.class_caps, members)):
-                key = jnp.where(member, iota_NG, BIG)
-                srt = jax.lax.sort([key] + cols, num_keys=1)
-                srt = [jnp.concatenate(
-                    [s, jnp.full((cap,), BIG if i == 0 else 0,
-                                 jnp.int32)])
-                    for i, s in enumerate(srt)]
                 nk = jnp.sum(member.astype(jnp.int32))
                 ncs.append(nk)
                 skip = skips[k]
-                win = [jax.lax.dynamic_slice(s, (skip,), (cap,))
-                       for s in srt]
-                in_cap = (np.arange(cap, dtype=np.int32)
-                          < (nk - skip))
-                metas.append(jnp.where(in_cap, win[0], -1))
-                pr = jnp.stack([jnp.where(in_cap, w, 0)
-                                for w in win[1:]])
-                params = pr.reshape(5, bk.n_jobs, bk.batch) \
-                    .transpose(1, 0, 2)
+                J, Bb = bk.n_jobs, bk.batch
+
+                def routed(member=member, cap=cap, skip=skip, nk=nk,
+                           J=J, Bb=Bb):
+                    key = jnp.where(member, iota_NG, BIG)
+                    srt = jax.lax.sort([key] + cols + trc, num_keys=1)
+                    srt = [jnp.concatenate(
+                        [s, jnp.full((cap,), BIG if i == 0 else 0,
+                                     jnp.int32)])
+                        for i, s in enumerate(srt)]
+                    win = [jax.lax.dynamic_slice(s, (skip,), (cap,))
+                           for s in srt]
+                    in_cap = (np.arange(cap, dtype=np.int32)
+                              < (nk - skip))
+                    meta = jnp.where(in_cap, win[0], -1)
+                    pr = jnp.stack([jnp.where(in_cap, w, 0)
+                                    for w in win[1:6]])
+                    params = pr.reshape(5, J, Bb).transpose(1, 0, 2)
+                    tw = jnp.stack([win[6], win[7], win[8], win[4],
+                                    win[9], win[10]])
+                    return meta, jnp.where(in_cap[None, :], tw, 0), \
+                        params
+
+                def empty(cap=cap, J=J, Bb=Bb):
+                    return (jnp.full((cap,), -1, jnp.int32),
+                            jnp.zeros((6, cap), jnp.int32),
+                            jnp.zeros((J, 5, Bb), jnp.int32))
+
+                meta, tw, params = jax.lax.cond(nk > skip, routed,
+                                                empty)
+                metas.append(meta)
+                tws.append(tw.reshape(-1))
                 out = bk(stream, planes, params)
                 outs.append(out.reshape(-1))
-            tab_flat = (packed_loc if rep else packed_loc[0]) \
-                .reshape(-1)
+            head = (packed_loc[0] if rep else packed_loc[0][0])
             buf = jnp.concatenate(
-                [tab_flat, jnp.stack(ncs)] + metas + outs)
+                [head, jnp.stack(ncs)] + metas + tws + outs)
             return buf[None]
 
         process_sm = jax.shard_map(
@@ -633,62 +667,61 @@ class ShardedPipeline:
         return frames
 
     def _consume_buf(self, buf, ctx, skips, frames, first):
-        p, dmp, n, G = self.p, self.dmp, self.n, self.p.gone_capacity
-        caps = self.class_caps
-        W = self.packed_w
+        p, dmp, n = self.p, self.dmp, self.n
+        caps, Ws, mss = self.class_caps, self.class_ws, self.class_mss
         base_index = ctx[3]
-        T = (G + 1) * 6
-        tabs = buf[:, :T].reshape(n, G + 1, 6)
-        ncs = buf[:, T:T + 3].astype(np.int64)   # (n, 3)
-        o = T + 3
-        metas, rows_l = [], []
+        heads = buf[:, :6]                       # (n, 6)
+        ncs = buf[:, 6:9].astype(np.int64)       # (n, 3)
+        o = 9
+        metas, tws, rows_l = [], [], []
         for cap in caps:
             metas.append(buf[:, o:o + cap])
             o += cap
         for cap in caps:
-            rows_l.append(buf[:, o:o + cap * W]
-                          .reshape(n, cap, W))
+            tws.append(buf[:, o:o + 6 * cap].reshape(n, 6, cap))
+            o += 6 * cap
+        for cap, W in zip(caps, Ws):
+            rows_l.append(buf[:, o:o + cap * W].reshape(n, cap, W))
             o += cap * W
 
         if first:
-            # replicated detect: every shard carries the SAME table —
-            # count it once; binshard: per-shard tables are disjoint
-            eff = tabs[:1] if self.detect_mode == "replicated" else tabs
-            counts = eff[:, 0, 0]
-            n_tagged = int(eff[:, 0, 1].sum())
+            # replicated detect: every shard carries the SAME head —
+            # count it once; binshard: per-shard heads are disjoint
+            eff = (heads[:1] if self.detect_mode == "replicated"
+                   else heads)
+            n_tagged = int(eff[:, 1].sum())
             self.prev_tagged = max(self.prev_tagged, n_tagged)
-            self.stats.n_detected += int(counts.sum())
+            self.stats.n_detected += int(eff[:, 0].sum())
             self.stats.n_dropped = (self.prev_tagged
                                     - self.stats.n_detected)
-            # cumulative scan diagnostics, summed over shards
             self.stats.n_em_dropped = max(self.stats.n_em_dropped,
-                                          int(eff[:, 0, 2].sum()))
+                                          int(eff[:, 2].sum()))
             self.stats.n_create_waits = max(self.stats.n_create_waits,
-                                            int(eff[:, 0, 3].sum()))
+                                            int(eff[:, 3].sum()))
 
-        meta = np.concatenate(
-            [m.reshape(-1) for m in metas])
-        rows = np.concatenate(
-            [r.reshape(-1, W) for r in rows_l], axis=0)
-        sel = meta >= 0
-        if sel.any():
-            u = pl_mod.unpack_outputs(rows, dmp.max_symbols,
-                                      self.want_llr)
+        ls, l_ext = self.slice_len, self.l_ext
+        ALIGN = wg.ALIGN
+        for meta_s, tw_s, rows_s, ms, W in zip(metas, tws, rows_l,
+                                               mss, Ws):
+            meta = meta_s.reshape(-1)
+            tw = np.concatenate(list(tw_s), axis=1)     # (6, n*cap)
+            rows = rows_s.reshape(-1, W)
+            sel = meta >= 0
+            if not sel.any():
+                continue
+            u = pl_mod.unpack_outputs(rows, ms, self.want_llr)
             self.stats.n_handled += int((u["dm_ok"] & sel).sum())
             ok = u["dm_ok"] & u["dd_ok"] & sel
             self.stats.n_ok += int(ok.sum())
-            ls, l_ext = self.slice_len, self.l_ext
-            ALIGN = wg.ALIGN
+            magf = np.ascontiguousarray(tw[4]).view(np.float32)
+            noisef = np.ascontiguousarray(tw[5]).view(np.float32)
             for j in np.nonzero(ok)[0]:
-                flat = int(meta[j])
-                s, gi = flat // G, flat % G
-                row = tabs[s, 1 + gi]
                 # reconstruct the gather alignment lead exactly as
                 # the device routing computed it (the delivered
                 # window starts `lead` samples early; start_dec
                 # already includes the matching shift_dec)
-                start_rel = max(int(row[1]), -base_index)
-                ext_len = min(int(row[2]) + p.burst_pre_len
+                start_rel = max(int(tw[1, j]), -base_index)
+                ext_len = min(int(tw[2, j]) + p.burst_pre_len
                               - start_rel, l_ext - ALIGN)
                 owner = min(max((start_rel + ext_len - 1) // ls, 0),
                             n - 1)
@@ -699,9 +732,8 @@ class ShardedPipeline:
                 abs_al = start_rel + base_index - lead
                 frames.append(pl_mod.build_frame(
                     p, dmp, self.in_ntaps, self.start_time_ns,
-                    int(row[0]), int(row[3]),
-                    float(row[4:5].view(np.float32)[0]),
-                    float(row[5:6].view(np.float32)[0]),
+                    int(tw[0, j]), int(tw[3, j]),
+                    float(magf[j]), float(noisef[j]),
                     abs_al, u, j))
         want = ncs.max(axis=0)                   # per-class max load
         lim = skips + np.asarray(caps, np.int64)

@@ -22,6 +22,8 @@ import time
 
 CONFIGS = [
     ("default", []),
+    ("scan-xla", ["--scan", "xla"]),       # cf. reference --no-simd
+    ("gather-xla", ["--gather", "xla"]),
     ("no-gardner", ["--no-gardner"]),
     ("parsed", ["--parsed"]),
 ]
