@@ -170,7 +170,9 @@ def main(argv=None) -> int:
                                fir_mode=("conv" if args.no_pallas
                                          else args.fir),
                                gather_mode=args.gather,
-                               agg_blocks=agg)
+                               agg_blocks=agg,
+                               scan_mode=("xla" if args.no_pallas
+                                          else args.scan))
     else:
         pipe = Pipeline(det_cfg=det, dm_cfg=DownmixConfig(),
                         burst_batch=args.burst_batch,

@@ -129,16 +129,43 @@ def _fir_valid_c(x: jax.Array, taps: jax.Array, stride: int = 1) -> jax.Array:
     return jax.lax.complex(out[0, 0], out[1, 0])
 
 
+def _fir_valid_small(x: jax.Array, taps) -> jax.Array:
+    """Small-tap valid FIR as STATIC SHIFTED ADDS in f32.
+
+    Why not a conv: XLA lays the vmapped (B, 1, L) TPU conv out with
+    1-sublane T(1,128) tiles — 8x VPU waste, measured ~11 ms per dense
+    group for the 25/20-tap filters alone (round-5 trace). The unrolled
+    slice-multiply-accumulate fuses into ordinary (8,128)-tiled
+    elementwise kernels, and the SEQUENTIAL f32 accumulation matches
+    the reference's scalar FIR loop ordering (fir_filter.c) more
+    closely than the conv's bf16x3 emulation did. Works on complex
+    input directly (real taps)."""
+    t = np.asarray(taps, np.float32)
+    n_out = x.shape[-1] - len(t) + 1
+    acc = None
+    for k, c in enumerate(t.tolist()):
+        term = np.float32(c) * x[..., k:k + n_out]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+_SMALL_FIR_MAX = 64
+
+
 def _fir_same_c(x: jax.Array, taps: jax.Array) -> jax.Array:
     """Centered same-length correlation FIR (reference pads with zeros and
     runs valid: burst_downmix.c:686-693)."""
     t = taps.shape[0]
     half = (t - 1) // 2
     xp = jnp.pad(x, (half, t - 1 - half))
+    if t <= _SMALL_FIR_MAX:
+        return _fir_valid_small(xp, np.asarray(taps))
     return _fir_valid_c(xp, taps)
 
 
 def _fir_valid_f(x: jax.Array, taps: jax.Array) -> jax.Array:
+    if taps.shape[0] <= _SMALL_FIR_MAX:
+        return _fir_valid_small(x, np.asarray(taps))
     lhs = x[None, None, :]
     rhs = taps[None, None, :]
     out = jax.lax.conv_general_dilated(

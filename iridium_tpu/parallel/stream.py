@@ -88,7 +88,8 @@ class ShardedPipeline:
                  detect_impl: str = "fast",
                  group_jobs: int = 2,
                  agg_blocks: int = 4,
-                 detect_mode: str = "replicated"):
+                 detect_mode: str = "replicated",
+                 scan_mode: str = "auto"):
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), (AXIS,))
         self.mesh = mesh
@@ -114,6 +115,11 @@ class ShardedPipeline:
         #     matters.
         assert detect_mode in ("replicated", "binshard"), detect_mode
         self.detect_mode = detect_mode
+        # scan_mode (replicated mode only): 'auto' = Mosaic kernel on
+        # TPU / XLA scan elsewhere; 'xla' forces the XLA scan (the
+        # --scan hardware A/B seam, like the single-chip pipeline)
+        assert scan_mode in ("auto", "pallas", "xla"), scan_mode
+        self.scan_mode = scan_mode
         assert p.fft_size % n == 0, "fft_size must divide by mesh size"
         assert (p.frames_per_block % n) == 0, \
             "frames_per_block must divide by mesh size"
@@ -294,7 +300,10 @@ class ShardedPipeline:
         rep = self.detect_mode == "replicated"
         if rep:
             from ..dsp import detect_pallas
-            if fast and detect_pallas.resolve_impl(p, "auto") == "pallas":
+            want = ("pallas" if self.scan_mode == "pallas"
+                    else detect_pallas.resolve_impl(p, "auto")
+                    if self.scan_mode == "auto" else "fast")
+            if fast and want == "pallas":
                 run_rep = detect_pallas.make_scan_pallas(p)
             elif fast:
                 run_rep = detect_fast.make_scan_fast(p)
@@ -636,14 +645,6 @@ class ShardedPipeline:
             tag="sharded process")
         self.timing["group_dispatch"] += time.perf_counter() - t0
         return buf
-
-    def _finish_block(self, ctx) -> list[dict]:
-        buf_dev = self._dispatch_process(ctx, np.zeros(3, np.int64))
-        t0 = time.perf_counter()
-        buf = self._fetch_rows(buf_dev)              # (n, buf_len)
-        self.timing["result_fetch_wait"] += time.perf_counter() - t0
-        self.timing["n_groups"] += 1
-        return self._finish_from_buf(ctx, buf)
 
     def _finish_from_buf(self, ctx, buf) -> list[dict]:
         """Parse one block's fetched process buffer into frames,

@@ -370,6 +370,10 @@ class Pipeline:
         self._stack_fn = jax.jit(lambda *xs: jnp.stack(xs))
         self._flatcat = jax.jit(lambda *xs: jnp.concatenate(
             [x.reshape(-1, x.shape[-1]) for x in xs], axis=0))
+        # 1-D variant: concatenates packed rows of DIFFERENT class
+        # widths into one fetch buffer (host splits by static sizes)
+        self._flatcat1d = jax.jit(lambda *xs: jnp.concatenate(
+            [x.reshape(-1) for x in xs]))
         self._lock = threading.Lock()
         self.reset()
         self.start_time_ns = start_time_ns
@@ -512,10 +516,13 @@ class Pipeline:
         self.group_small_n = self._make_group_processor(
             self.l_small, dec_cap_small, max(self.group_jobs // 2, 1),
             2 * self.burst_batch, frame_cap=cap_n)
-        # simplex capacity: the simplex band is a few percent of a full
-        # 10 MHz capture but bursty (ring-alert blasts)
+        # simplex capacity: the simplex band is ~10% of a centered
+        # 10 MHz capture and bursty (ring-alert blasts); ~3/16 of the
+        # normal capacity keeps a dense group to one round (the bench's
+        # 24-40 dB group measured ~114 simplex bursts vs the round-5
+        # initial 96-slot cap — one avoidable ~70 ms overflow round)
         self.group_small_s = self._make_group_processor(
-            self.l_small, dec_cap_small, max(self.group_jobs // 6, 1),
+            self.l_small, dec_cap_small, max(self.group_jobs // 4, 1),
             3 * self.batch_large)
         self.group_large = self._make_group_processor(
             self.l_ext, dec_cap_large, max(self.group_jobs // 12, 1),
@@ -1051,7 +1058,7 @@ class Pipeline:
                 else self._concat_fn(*[c[0] for c in ctxs])
             outs = [proc(flat, jnp.asarray(params))
                     for proc, params, _ in rounds]
-            pf = self._flatcat(*outs)
+            pf = self._flatcat1d(*outs)
             return np.asarray(pf)
 
         t0 = time.perf_counter()
@@ -1061,8 +1068,14 @@ class Pipeline:
             self.timing["n_burst_batches"] += sum(
                 r[0].n_jobs for r in rounds)
 
-        meta_all = np.concatenate([m.reshape(-1) for _, _, m in rounds])
-        self._format_group(pf_all, meta_all, ginfo, blocks_g, out)
+        # per-round parse: classes pack at their own widths
+        o = 0
+        for proc, params, meta in rounds:
+            sz = proc.n_jobs * proc.batch * proc.W
+            rows = pf_all[o:o + sz].reshape(-1, proc.W)
+            o += sz
+            self._format_group(rows, meta.reshape(-1), ginfo,
+                               blocks_g, out, proc.max_symbols)
         for frames in out:
             frames.sort(key=lambda f: f["id"])
         return out
@@ -1108,9 +1121,11 @@ class Pipeline:
             abs_al=np.concatenate(abs_cl) - lead,
             small=np.nonzero(small)[0], large=np.nonzero(~small)[0])
 
-    def _format_group(self, pf_all, meta_all, ginfo, blocks_g, out):
+    def _format_group(self, pf_all, meta_all, ginfo, blocks_g, out,
+                      max_symbols=None):
         p, dmp = self.p, self.dmp
-        u = unpack_outputs(pf_all, dmp.max_symbols, self.want_llr)
+        u = unpack_outputs(pf_all, max_symbols or dmp.max_symbols,
+                           self.want_llr)
         valid = meta_all >= 0
         with self._lock:
             self.stats.n_handled += int((u["dm_ok"] & valid).sum())
