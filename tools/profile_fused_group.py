@@ -33,7 +33,6 @@ def main():
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
     cache_dir = os.path.expanduser("~/.iridium-tpu-xla-cache")
     try:
