@@ -321,7 +321,9 @@ def run_child(args) -> None:
                     fir_mode="conv" if args.no_pallas else "mxu",
                     want_llr=False,
                     agg_blocks=args.agg_blocks,
-                    group_jobs=args.group_jobs)
+                    group_jobs=args.group_jobs,
+                    detect_impl="fast" if args.no_pallas else "auto",
+                    gather_mode="xla" if args.no_pallas else "auto")
     bs = pipe.p.block_samples
     log(f"devices: {jax.devices()}")
     t0 = time.perf_counter()

@@ -152,6 +152,35 @@ def test_pallas_mass_deletion_mask_release():
     assert len(wave2_rows) >= n_tones
 
 
+def test_pallas_eof_partial_block():
+    """A final block with n_valid < block_samples: frames past the
+    valid region must not mutate state, and the partial-block tables
+    must equal the XLA scan's."""
+    import jax
+    import jax.numpy as jnp
+    p = small_params()
+    events = [(0.08, 0.010, 100_000.0, 0.05),
+              (0.12, 0.015, -200_000.0, 0.06)]
+    x = tone_capture(p, events)
+    n_valid = int(0.60 * p.block_samples)
+    pad = np.zeros(p.block_samples - n_valid, np.complex64)
+    xb = np.concatenate([x[:n_valid], pad])
+
+    det_f = jax.jit(detect_fast.make_detect_block_fast(p))
+    st_f = det_f(jnp.asarray(xb), detect_fast.init_state(p),
+                 jnp.int32(n_valid))
+    det_p = make_pallas(p)
+    st_p = det_p(jnp.asarray(xb), detect_fast.init_state(p),
+                 jnp.int32(n_valid))
+    from test_detect_fast import gone_sorted
+    check_same(gone_sorted(st_p), gone_sorted(st_f))
+    assert int(st_p.g_count) >= 1
+    np.testing.assert_allclose(np.asarray(st_p.baseline_sum),
+                               np.asarray(st_f.baseline_sum),
+                               rtol=1e-6)
+    assert int(st_p.primed) == int(st_f.primed)
+
+
 def test_pallas_state_interchangeable_with_fast():
     """A stream can switch implementations mid-run: block 1 through the
     pallas kernel, block 2 through the XLA scan (states share the
